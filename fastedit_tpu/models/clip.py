@@ -1,0 +1,157 @@
+"""CLIP text towers (and the generic ViT encoder reused by metrics models).
+
+Replaces the ``transformers`` CLIP encoders the reference loads transitively
+through the diffusers pipeline (SURVEY.md §2.2 E6): SDXL conditions on the
+concatenated penultimate hidden states of CLIP ViT-L/14 (768-d) and OpenCLIP
+ViT-bigG/14 (1280-d) -> 2048-d per-token context, plus bigG's projected
+pooled embedding for the added-cond path.
+
+77-token sequences are tiny; attention here is a plain fp32-softmax einsum
+with a causal mask (no Pallas needed — the flash kernel targets the UNet's
+4096-token image attention).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from fastedit_tpu.models.configs import CLIPTextConfig
+from fastedit_tpu.models.layers import LayerNorm
+
+
+def _act(name: str):
+    if name == "quick_gelu":
+        return lambda x: x * jax.nn.sigmoid(1.702 * x)
+    if name == "gelu":
+        return partial(jax.nn.gelu, approximate=False)
+    raise ValueError(f"unsupported activation {name!r}")
+
+
+class CLIPAttention(nn.Module):
+    hidden_size: int
+    num_heads: int
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
+        d = self.hidden_size // self.num_heads
+        dense = partial(
+            nn.Dense, self.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype
+        )
+        b, s, _ = x.shape
+        shape = (b, s, self.num_heads, d)
+        q = dense(name="q_proj")(x).reshape(shape)
+        k = dense(name="k_proj")(x).reshape(shape)
+        v = dense(name="v_proj")(x).reshape(shape)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        logits = logits * (d**-0.5)
+        if mask is not None:
+            logits = logits + mask
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, s, self.hidden_size)
+        return dense(name="out_proj")(out)
+
+
+class CLIPEncoderLayer(nn.Module):
+    config: CLIPTextConfig
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
+        cfg = self.config
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        ln = partial(LayerNorm, eps=cfg.layer_norm_eps, param_dtype=self.param_dtype)
+        x = x + CLIPAttention(
+            cfg.hidden_size, cfg.num_heads, name="self_attn", **kw
+        )(ln(name="layer_norm1")(x), mask)
+        h = ln(name="layer_norm2")(x)
+        h = nn.Dense(cfg.intermediate_size, name="mlp_fc1", **kw)(h)
+        h = _act(cfg.hidden_act)(h)
+        h = nn.Dense(cfg.hidden_size, name="mlp_fc2", **kw)(h)
+        return x + h
+
+
+@dataclasses.dataclass
+class CLIPTextOutput:
+    last_hidden_state: jax.Array  # [B, S, D] after final LayerNorm
+    penultimate_hidden_state: jax.Array  # [B, S, D] input of the last layer
+    pooled_output: jax.Array  # [B, D or projection_dim]
+
+
+class CLIPTextModel(nn.Module):
+    """CLIP text tower; returns final, penultimate, and pooled outputs.
+
+    ``penultimate_hidden_state`` is HF's ``hidden_states[-2]`` (the hidden
+    state *entering* the last encoder layer) — what SDXL consumes from both
+    towers.  ``pooled_output`` is the final-LayerNormed hidden state at the
+    first EOS token, passed through ``text_projection`` when configured
+    (OpenCLIP bigG).
+    """
+
+    config: CLIPTextConfig
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: jax.Array) -> CLIPTextOutput:
+        cfg = self.config
+        b, s = input_ids.shape
+        assert s <= cfg.max_positions
+        tok = nn.Embed(
+            cfg.vocab_size,
+            cfg.hidden_size,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="token_embedding",
+        )(input_ids)
+        pos = self.param(
+            "position_embedding",
+            nn.initializers.normal(0.02),
+            (cfg.max_positions, cfg.hidden_size),
+            self.param_dtype,
+        )
+        x = tok + pos[None, :s].astype(tok.dtype)
+
+        causal = jnp.triu(jnp.full((s, s), -jnp.inf, dtype=jnp.float32), k=1)
+        mask = causal[None, None]
+
+        penultimate = None
+        for i in range(cfg.num_layers):
+            if i == cfg.num_layers - 1:
+                penultimate = x
+            x = CLIPEncoderLayer(
+                cfg,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"layers_{i}",
+            )(x, mask)
+        x = LayerNorm(
+            eps=cfg.layer_norm_eps,
+            param_dtype=self.param_dtype,
+            name="final_layer_norm",
+        )(x)
+
+        eos = (input_ids == cfg.eos_token_id).astype(jnp.int32)
+        eos_pos = jnp.argmax(eos, axis=-1)  # first EOS per row
+        pooled = x[jnp.arange(b), eos_pos]
+        if cfg.projection_dim is not None:
+            pooled = nn.Dense(
+                cfg.projection_dim,
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="text_projection",
+            )(pooled)
+        return CLIPTextOutput(
+            last_hidden_state=x,
+            penultimate_hidden_state=penultimate,
+            pooled_output=pooled,
+        )

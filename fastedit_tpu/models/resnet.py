@@ -1,0 +1,102 @@
+"""ResNet blocks and resampling layers (NHWC) for UNet / ControlNet / VAE."""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from fastedit_tpu.models.layers import GroupNorm
+
+
+def _conv(features: int, kernel: int, stride: int = 1, pad: int | str = "SAME", **kw):
+    padding = pad if isinstance(pad, str) else [(pad, pad), (pad, pad)]
+    return nn.Conv(
+        features,
+        kernel_size=(kernel, kernel),
+        strides=(stride, stride),
+        padding=padding,
+        **kw,
+    )
+
+
+class ResnetBlock2D(nn.Module):
+    """GN+SiLU -> conv3x3 -> (+time emb) -> GN+SiLU -> conv3x3 -> +shortcut."""
+
+    out_channels: int
+    use_time_emb: bool = True
+    groups: int = 32
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, temb: Optional[jax.Array] = None
+    ) -> jax.Array:
+        conv = partial(_conv, dtype=self.dtype, param_dtype=self.param_dtype)
+        in_channels = x.shape[-1]
+        h = GroupNorm(num_groups=self.groups, eps=self.eps, act="silu", name="norm1")(x)
+        h = conv(self.out_channels, 3, name="conv1")(h)
+        if self.use_time_emb:
+            assert temb is not None, "time embedding required"
+            t = nn.Dense(
+                self.out_channels,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="time_emb_proj",
+            )(jax.nn.silu(temb))
+            h = h + t[:, None, None, :]
+        h = GroupNorm(num_groups=self.groups, eps=self.eps, act="silu", name="norm2")(h)
+        h = conv(self.out_channels, 3, name="conv2")(h)
+        if in_channels != self.out_channels:
+            x = conv(self.out_channels, 1, name="conv_shortcut")(x)
+        return x + h
+
+
+class Downsample2D(nn.Module):
+    """Strided conv downsample. VAE encoder uses asymmetric (0,1) padding."""
+
+    out_channels: int
+    asymmetric_pad: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.asymmetric_pad:
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            pad: int | str = 0
+        else:
+            pad = 1
+        return _conv(
+            self.out_channels,
+            3,
+            stride=2,
+            pad=pad,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(x)
+
+
+class Upsample2D(nn.Module):
+    """Nearest x2 (exact, via repeat) then conv3x3."""
+
+    out_channels: int
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return _conv(
+            self.out_channels,
+            3,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(x)

@@ -1,0 +1,57 @@
+"""GroupNorm (+ optional fused SiLU) for NHWC tensors.
+
+The dominant non-matmul op in the UNet/VAE resnet blocks (SURVEY.md §2.3
+native tier item 2).  XLA reference here; the Pallas fused kernel lives in
+``ops/fused_groupnorm.py`` and is selected by ``ops.flags``.
+
+Statistics are computed in fp32 (bf16 inputs upcast) over (H, W, C/G).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from fastedit_tpu.ops import flags
+
+
+def group_norm_xla(
+    x: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    act: str | None = None,
+) -> jax.Array:
+    """x: [..., H, W, C] (NHWC); gamma/beta: [C]. act in {None, 'silu'}."""
+    orig_dtype = x.dtype
+    *lead, h, w, c = x.shape
+    assert c % num_groups == 0, f"channels {c} not divisible by groups {num_groups}"
+    xf = x.astype(jnp.float32).reshape(*lead, h, w, num_groups, c // num_groups)
+    axes = tuple(range(len(lead), len(lead) + 2)) + (len(lead) + 3,)
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xn = xn.reshape(*lead, h, w, c)
+    out = xn * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    if act == "silu":
+        out = out * jax.nn.sigmoid(out)
+    elif act is not None:
+        raise ValueError(f"unsupported activation {act!r}")
+    return out.astype(orig_dtype)
+
+
+def group_norm(
+    x: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    act: str | None = None,
+) -> jax.Array:
+    """Dispatching GroupNorm entry point used by all models."""
+    if flags.use_pallas_groupnorm():
+        from fastedit_tpu.ops.fused_groupnorm import fused_group_norm
+
+        return fused_group_norm(x, gamma, beta, num_groups=num_groups, eps=eps, act=act)
+    return group_norm_xla(x, gamma, beta, num_groups=num_groups, eps=eps, act=act)
