@@ -30,6 +30,16 @@ re-exported at reference src/__init__.py:5-7) is preserved here.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("FASTEDIT_PLATFORM"):
+    # Honor an explicit platform choice (e.g. FASTEDIT_PLATFORM=cpu for
+    # smoke runs).  Must go through jax.config — this image's sitecustomize
+    # overrides the plain JAX_PLATFORMS env var.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["FASTEDIT_PLATFORM"])
+
 __all__ = ["FastEditor", "MetricsCalculator", "__version__"]
 
 

@@ -1,0 +1,228 @@
+"""MetricsCalculator — the six-metric evaluation facade.
+
+API-compatible rebuild of reference src/metrics.py:150-387: same method
+names, same conventions (pairwise metrics at 512x512 LANCZOS; CLIP score on
+the un-resized uint8 image; DINO at 224 with ImageNet normalization,
+layer-11 keys self-similarity MSE).
+
+Learned backbones (LPIPS-SqueezeNet, CLIP ViT-B/16, DINO ViT-B/8) load from
+``<weights_dir>`` (produced by tools/convert_checkpoint.py); without
+converted weights they fall back to random init with a loud warning — SSIM/
+PSNR/MSE stay exact either way.
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from fastedit_tpu.metrics import functional as F
+from fastedit_tpu.metrics.dino import (
+    DINO_VITB8,
+    DINOConfig,
+    DINOViT,
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    TINY_DINO,
+    dino_distance,
+)
+from fastedit_tpu.metrics.lpips import LPIPS
+from fastedit_tpu.models import configs as C
+from fastedit_tpu.models.clip import CLIPTextModel, CLIPVisionModel
+from fastedit_tpu.text.tokenizer import CLIPTokenizer
+from fastedit_tpu.utils import checkpoint as ckpt_io
+
+CLIP_IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+class MetricsCalculator:
+    """Six-metric calculator (SSIM, LPIPS, CLIP score, PSNR, MSE, DINO)."""
+
+    def __init__(
+        self,
+        device: str = "tpu",
+        weights_dir: Optional[str] = None,
+        tiny: bool = False,
+        init_seed: int = 0,
+    ):
+        self.device = device
+        self.metric_size = (512, 512)
+        weights_dir = weights_dir or os.path.join("checkpoints", "metrics")
+        print(f"[MetricsCalculator] Initializing on {device}...")
+
+        if tiny:
+            self.clip_vision_cfg = C.TINY_CLIP_VISION
+            clip_text_cfg = C.TINY_CLIP_TEXT
+            self.dino_cfg: DINOConfig = TINY_DINO
+        else:
+            self.clip_vision_cfg = C.CLIP_B16_VISION
+            clip_text_cfg = C.CLIP_B16_TEXT
+            self.dino_cfg = DINO_VITB8
+
+        self.lpips = LPIPS()
+        self.clip_vision = CLIPVisionModel(self.clip_vision_cfg)
+        self.clip_text = CLIPTextModel(clip_text_cfg)
+        self.dino = DINOViT(self.dino_cfg)
+
+        key = jax.random.PRNGKey(init_seed)
+        self._params = {}
+        loads = {
+            "lpips": lambda: self.lpips.init(
+                key, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3))
+            )["params"],
+            "clip_vision": lambda: self.clip_vision.init(
+                key,
+                jnp.zeros(
+                    (1, self.clip_vision_cfg.image_size,
+                     self.clip_vision_cfg.image_size, 3)
+                ),
+            )["params"],
+            "clip_text": lambda: self.clip_text.init(
+                key, jnp.zeros((1, 77), jnp.int32)
+            )["params"],
+            "dino": lambda: self.dino.init(
+                key,
+                jnp.zeros((1, self.dino_cfg.image_size, self.dino_cfg.image_size, 3)),
+                self.dino_cfg.num_layers - 1,
+            )["params"],
+        }
+        missing = []
+        for name, init_fn in loads.items():
+            path = os.path.join(weights_dir, name)
+            if os.path.isdir(path):
+                self._params[name] = ckpt_io.load_params(path, jnp.float32)
+            else:
+                self._params[name] = init_fn()
+                missing.append(name)
+        if missing and not tiny:
+            warnings.warn(
+                f"[MetricsCalculator] no converted weights for {missing} under "
+                f"{weights_dir}; using RANDOM weights — LPIPS/CLIP/DINO values "
+                "will not be meaningful (SSIM/PSNR/MSE are unaffected). Run "
+                "tools/convert_checkpoint.py to enable learned metrics."
+            )
+        tok_dir = os.path.join(weights_dir, "clip_tokenizer")
+        if os.path.isdir(tok_dir):
+            self.clip_tokenizer = CLIPTokenizer.from_dir(tok_dir)
+        else:
+            self.clip_tokenizer = CLIPTokenizer.synthetic(
+                vocab_size=clip_text_cfg.vocab_size
+            )
+
+        self._jit_ssim = jax.jit(F.ssim)
+        self._jit_psnr = jax.jit(F.psnr)
+        self._jit_mse = jax.jit(F.mse)
+        self._jit_lpips = jax.jit(
+            lambda p, a, b: self.lpips.apply({"params": p}, a, b)
+        )
+        self._jit_clip = jax.jit(self._clip_score_impl)
+        self._jit_dino = jax.jit(self._dino_impl)
+        print("[MetricsCalculator] Initialization complete!")
+
+    # ----------------------------------------------------------- conversion
+
+    def _pair_512(self, img1: Image.Image, img2: Image.Image):
+        """Both images resized to 512x512 LANCZOS, [1, H, W, 3] in [0, 1]."""
+        out = []
+        for img in (img1, img2):
+            if img.size != self.metric_size:
+                img = img.resize(self.metric_size, Image.LANCZOS)
+            out.append(
+                jnp.asarray(np.asarray(img.convert("RGB"), dtype=np.float32) / 255.0)[
+                    None
+                ]
+            )
+        return out
+
+    # ------------------------------------------------------------- metrics
+
+    def calculate_ssim(self, img1: Image.Image, img2: Image.Image) -> float:
+        a, b = self._pair_512(img1, img2)
+        return float(self._jit_ssim(a, b))
+
+    def calculate_psnr(self, img1: Image.Image, img2: Image.Image) -> float:
+        a, b = self._pair_512(img1, img2)
+        return float(self._jit_psnr(a, b))
+
+    def calculate_mse(self, img1: Image.Image, img2: Image.Image) -> float:
+        a, b = self._pair_512(img1, img2)
+        return float(self._jit_mse(a, b))
+
+    def calculate_lpips(self, img1: Image.Image, img2: Image.Image) -> float:
+        a, b = self._pair_512(img1, img2)
+        return float(self._jit_lpips(self._params["lpips"], a * 2 - 1, b * 2 - 1))
+
+    def _clip_score_impl(self, params, pixels, ids):
+        img_emb = self.clip_vision.apply({"params": params["clip_vision"]}, pixels)
+        txt_emb = self.clip_text.apply(
+            {"params": params["clip_text"]}, ids
+        ).pooled_output
+        img_emb = img_emb / jnp.linalg.norm(img_emb, axis=-1, keepdims=True)
+        txt_emb = txt_emb / jnp.linalg.norm(txt_emb, axis=-1, keepdims=True)
+        return jnp.maximum(100.0 * jnp.sum(img_emb * txt_emb, axis=-1), 0.0).mean()
+
+    def calculate_clip_score(self, img: Image.Image, text: str) -> float:
+        size = self.clip_vision_cfg.image_size
+        img = img.convert("RGB").resize((size, size), Image.BICUBIC)
+        arr = np.asarray(img, dtype=np.float32) / 255.0
+        arr = (arr - np.asarray(CLIP_IMAGE_MEAN)) / np.asarray(CLIP_IMAGE_STD)
+        ids = jnp.asarray(self.clip_tokenizer.encode(text))[None]
+        return float(
+            self._jit_clip(
+                {
+                    "clip_vision": self._params["clip_vision"],
+                    "clip_text": self._params["clip_text"],
+                },
+                jnp.asarray(arr, dtype=jnp.float32)[None],
+                ids,
+            )
+        )
+
+    def _dino_impl(self, params, src, edit):
+        layer = self.dino_cfg.num_layers - 1
+        k_src = self.dino.apply({"params": params}, src, layer)
+        k_edit = self.dino.apply({"params": params}, edit, layer)
+        return dino_distance(k_src, k_edit)
+
+    def calculate_dino_distance(
+        self, source_img: Image.Image, edited_img: Image.Image
+    ) -> float:
+        size = self.dino_cfg.image_size
+
+        def prep(img):
+            arr = (
+                np.asarray(
+                    img.convert("RGB").resize((size, size), Image.BILINEAR),
+                    dtype=np.float32,
+                )
+                / 255.0
+            )
+            arr = (arr - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+            return jnp.asarray(arr, dtype=jnp.float32)[None]
+
+        return float(
+            self._jit_dino(self._params["dino"], prep(source_img), prep(edited_img))
+        )
+
+    def calculate_all_metrics(
+        self, source_img: Image.Image, edited_img: Image.Image, prompt: str
+    ) -> dict:
+        """All six metrics (reference src/metrics.py:349-381 conventions)."""
+        return {
+            "ssim": self.calculate_ssim(source_img, edited_img),
+            "lpips": self.calculate_lpips(source_img, edited_img),
+            "clip_score": self.calculate_clip_score(edited_img, prompt),
+            "psnr": self.calculate_psnr(source_img, edited_img),
+            "mse": self.calculate_mse(source_img, edited_img),
+            "dino_distance": self.calculate_dino_distance(source_img, edited_img),
+        }
+
+    def clear_memory(self):
+        """API parity no-op (no CUDA cache to empty on TPU)."""

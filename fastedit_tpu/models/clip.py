@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from fastedit_tpu.models.configs import CLIPTextConfig
+from fastedit_tpu.models.configs import CLIPTextConfig, CLIPVisionConfig
 from fastedit_tpu.models.layers import LayerNorm
 
 
@@ -60,7 +60,9 @@ class CLIPAttention(nn.Module):
 
 
 class CLIPEncoderLayer(nn.Module):
-    config: CLIPTextConfig
+    # duck-typed: any config with hidden_size/num_heads/intermediate_size/
+    # hidden_act/layer_norm_eps (text or vision).
+    config: Any
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -155,3 +157,70 @@ class CLIPTextModel(nn.Module):
             penultimate_hidden_state=penultimate,
             pooled_output=pooled,
         )
+
+
+class CLIPVisionModel(nn.Module):
+    """CLIP vision tower (ViT): patch conv + CLS token + pre/post LayerNorm.
+
+    Returns the projected image embedding [B, projection_dim] (what
+    CLIPScore consumes).  Input: [B, H, W, 3], already resized/cropped and
+    CLIP-normalized.
+    """
+
+    config: CLIPVisionConfig
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pixels: jax.Array) -> jax.Array:
+        cfg = self.config
+        b = pixels.shape[0]
+        n_patches = (cfg.image_size // cfg.patch_size) ** 2
+        x = nn.Conv(
+            cfg.hidden_size,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            padding="VALID",
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="patch_embedding",
+        )(pixels.astype(self.dtype))
+        x = x.reshape(b, n_patches, cfg.hidden_size)
+        cls = self.param(
+            "class_embedding",
+            nn.initializers.normal(0.02),
+            (cfg.hidden_size,),
+            self.param_dtype,
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls, (b, 1, cfg.hidden_size)).astype(x.dtype), x],
+            axis=1,
+        )
+        pos = self.param(
+            "position_embedding",
+            nn.initializers.normal(0.02),
+            (n_patches + 1, cfg.hidden_size),
+            self.param_dtype,
+        )
+        x = x + pos[None].astype(x.dtype)
+        x = LayerNorm(
+            eps=cfg.layer_norm_eps, param_dtype=self.param_dtype, name="pre_layrnorm"
+        )(x)
+        for i in range(cfg.num_layers):
+            x = CLIPEncoderLayer(
+                cfg, dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"layers_{i}",
+            )(x, None)
+        pooled = LayerNorm(
+            eps=cfg.layer_norm_eps,
+            param_dtype=self.param_dtype,
+            name="post_layernorm",
+        )(x[:, 0])
+        return nn.Dense(
+            cfg.projection_dim,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="visual_projection",
+        )(pooled)

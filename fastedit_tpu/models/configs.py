@@ -183,6 +183,38 @@ TINY_TEXT_ENCODER = CLIPTextConfig(
     intermediate_size=64,
     eos_token_id=999,
 )
+@dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig:
+    """CLIP vision tower (ViT). Used by the CLIPScore metric (E10)."""
+
+    image_size: int = 224
+    patch_size: int = 16
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_act: str = "quick_gelu"
+    projection_dim: int = 512
+    layer_norm_eps: float = 1e-5
+
+
+# openai/clip-vit-base-patch16 (the CLIPScore backbone, src/metrics.py:184-186)
+CLIP_B16_VISION = CLIPVisionConfig()
+CLIP_B16_TEXT = CLIPTextConfig(
+    hidden_size=512, num_layers=12, num_heads=8, intermediate_size=2048,
+    projection_dim=512,
+)
+
+TINY_CLIP_VISION = CLIPVisionConfig(
+    image_size=32, patch_size=8, hidden_size=32, num_layers=2, num_heads=2,
+    intermediate_size=64, projection_dim=32,
+)
+TINY_CLIP_TEXT = CLIPTextConfig(
+    vocab_size=1000, hidden_size=32, num_layers=2, num_heads=2,
+    intermediate_size=64, eos_token_id=999, projection_dim=32,
+)
+
+
 TINY_TEXT_ENCODER_2 = CLIPTextConfig(
     vocab_size=1000,
     hidden_size=32,

@@ -44,9 +44,15 @@ def attention_xla(
 def attention(
     q: jax.Array, k: jax.Array, v: jax.Array, scale: Optional[float] = None
 ) -> jax.Array:
-    """Dispatching attention entry point used by all models."""
-    if flags.use_pallas_attention():
-        from fastedit_tpu.ops.flash_attention import flash_attention
+    """Dispatching attention entry point used by all models.
 
-        return flash_attention(q, k, v, scale=scale)
+    Pallas flash kernel for the big self-attention shapes; XLA reference for
+    everything it doesn't serve (77-token cross-attention KV, tiny smoke
+    models) — see flash_attention.supports().
+    """
+    if flags.use_pallas_attention():
+        from fastedit_tpu.ops import flash_attention as fa
+
+        if fa.supports(q.shape, k.shape[1]):
+            return fa.flash_attention(q, k, v, scale=scale)
     return attention_xla(q, k, v, scale=scale)

@@ -42,7 +42,9 @@ def use_pallas_attention() -> bool:
 
 def use_pallas_groupnorm() -> bool:
     if FLAGS.use_pallas_groupnorm is None:
-        return _on_tpu()
+        # XLA's fused groupnorm+silu is already near-roofline; the Pallas
+        # kernel is opt-in until it beats XLA in bench_kernels.py.
+        return False
     return FLAGS.use_pallas_groupnorm
 
 

@@ -1,0 +1,448 @@
+"""FastEditor — the one-call image editing facade (TPU-native).
+
+API-compatible rebuild of the reference's ``FastEditor``
+(src/pipeline.py:17-293): same constructor knobs, same ``MODEL_CONFIGS``
+keys, same ``preprocess_image`` / ``edit`` / ``clear_memory`` /
+``get_memory_usage`` surface — plus a real ``strength`` parameter (the
+reference documents one but never exposes it; BASELINE.md caveats).
+
+TPU-first differences (SURVEY.md §2.2 E8, deliberate replacements):
+  * no CPU offload / attention slicing / VAE slicing — all weights live in
+    HBM; ``enable_cpu_offload`` is accepted and ignored with a note.
+  * models/weights come from converted local checkpoints
+    (tools/convert_checkpoint.py), not HF-Hub downloads.
+  * ``model_name="tiny"`` runs a random-weight smoke model with the real
+    topology end-to-end in seconds (tests / CI / demos).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from fastedit_tpu.models import configs as C
+from fastedit_tpu.models.clip import CLIPTextModel
+from fastedit_tpu.models.controlnet import ControlNetModel
+from fastedit_tpu.models.unet import UNet2DConditionModel
+from fastedit_tpu.models.vae import AutoencoderKL
+from fastedit_tpu.ops.canny import canny_jax
+from fastedit_tpu.pipeline import stages
+from fastedit_tpu.sched.lcm import LCMSchedulerConfig, make_schedule
+from fastedit_tpu.text.tokenizer import CLIPTokenizer
+from fastedit_tpu.utils import checkpoint as ckpt_io
+from fastedit_tpu.utils.image import float_to_pil, pil_to_float, resize
+
+
+class FastEditor:
+    """Fast image editor: SDXL/SSD-1B + LCM + ControlNet-Canny on TPU."""
+
+    # Same registry keys as the reference (src/pipeline.py:30-43); HF repo
+    # ids are retained as *weight sources* for the offline converter.
+    MODEL_CONFIGS = {
+        "sdxl": {
+            "base_model": "stabilityai/stable-diffusion-xl-base-1.0",
+            "lcm_lora": "latent-consistency/lcm-lora-sdxl",
+            "use_full_lcm": False,  # LCM-LoRA fused into the UNet offline
+            "unet_config": C.SDXL_UNET,
+            "resolution": 1024,
+            "description": "Full SDXL + fused LCM-LoRA (bf16 HBM-resident)",
+        },
+        "ssd-1b": {
+            "base_model": "segmind/SSD-1B",
+            "lcm_model": "latent-consistency/lcm-ssd-1b",
+            "use_full_lcm": True,
+            "unet_config": C.SSD1B_UNET,
+            "resolution": 1024,
+            "description": "SSD-1B distilled (50% smaller, faster)",
+        },
+        "tiny": {
+            "use_full_lcm": True,
+            "unet_config": C.TINY_UNET,
+            "resolution": 64,
+            "description": "Random-weight smoke model (tests/demo, real topology)",
+        },
+    }
+
+    def __init__(
+        self,
+        model_name: str = "sdxl",
+        device: Optional[str] = None,
+        dtype=jnp.bfloat16,
+        enable_cpu_offload: bool = False,
+        use_full_precision: bool = False,
+        use_full_controlnet: bool = False,
+        checkpoint_dir: Optional[str] = None,
+        init_seed: int = 0,
+    ):
+        if model_name not in self.MODEL_CONFIGS:
+            raise ValueError(
+                f"Unknown model: {model_name}. Choose from "
+                f"{list(self.MODEL_CONFIGS.keys())}"
+            )
+        self.model_name = model_name
+        self.config = self.MODEL_CONFIGS[model_name]
+        self.dtype = jnp.float32 if use_full_precision else dtype
+        self.use_full_controlnet = use_full_controlnet
+        self.resolution = self.config["resolution"]
+        self.device = device or jax.default_backend()
+        if enable_cpu_offload:
+            print(
+                "[FastEditor] CPU offload requested but not needed: weights "
+                "are HBM-resident on TPU (by design; see SURVEY.md §2.2 E8)."
+            )
+
+        print(f"[FastEditor] Initializing {model_name} ({self.config['description']})")
+        print(f"[FastEditor] Backend: {self.device}, dtype: {jnp.dtype(self.dtype).name}")
+
+        if model_name == "tiny":
+            self._init_tiny(init_seed)
+        else:
+            ckpt = checkpoint_dir or os.path.join("checkpoints", model_name)
+            self._load_checkpoint(ckpt)
+
+        self.scheduler_config = LCMSchedulerConfig()
+        self.mesh = None  # set by enable_data_parallel()
+        self._rebuild_stages()
+        self._prompt_cache: dict = {}
+        print("[FastEditor] Initialization complete!")
+
+    def _rebuild_stages(self):
+        self._encode_prompt = stages.make_encode_prompt(self.modules)
+        self._vae_encode = stages.make_vae_encode(self.modules)
+        self._vae_decode = stages.make_vae_decode(self.modules)
+        self._denoise = stages.make_denoise(self.modules)
+        self._canny = jax.jit(canny_jax)
+        self._canny_batch = jax.jit(jax.vmap(canny_jax, in_axes=(0, None, None)))
+
+    def enable_data_parallel(self, mesh=None):
+        """Shard future ``edit_batch`` calls over the device mesh (ICI DP):
+        weights replicated per chip, batch dim sharded (SURVEY.md §2.4)."""
+        from fastedit_tpu.parallel import mesh as mesh_lib
+
+        self.mesh = mesh or mesh_lib.make_mesh()
+        m = self.modules
+        for attr in (
+            "unet_params",
+            "controlnet_params",
+            "vae_params",
+            "text_encoder_params",
+            "text_encoder_2_params",
+        ):
+            setattr(m, attr, mesh_lib.replicate_params(getattr(m, attr), self.mesh))
+        self._rebuild_stages()
+        self._prompt_cache = {}
+        n = self.mesh.devices.size
+        print(f"[FastEditor] Data parallelism enabled over {n} devices")
+        return self.mesh
+
+    # ------------------------------------------------------------------ init
+
+    def _init_tiny(self, seed: int):
+        """Random-weight smoke model with the real SDXL topology."""
+        key = jax.random.PRNGKey(seed)
+        dt = self.dtype
+        unet = UNet2DConditionModel(C.TINY_UNET, dtype=dt, param_dtype=dt)
+        cn = ControlNetModel(C.TINY_CONTROLNET, dtype=dt, param_dtype=dt)
+        vae = AutoencoderKL(C.TINY_VAE, dtype=dt, param_dtype=dt)
+        te1 = CLIPTextModel(C.TINY_TEXT_ENCODER, dtype=dt, param_dtype=dt)
+        te2 = CLIPTextModel(C.TINY_TEXT_ENCODER_2, dtype=dt, param_dtype=dt)
+
+        r = self.resolution
+        lat_hw = r // C.TINY_VAE.downscale_factor
+        pooled_dim = C.TINY_TEXT_ENCODER_2.projection_dim
+        lat = jnp.zeros((1, lat_hw, lat_hw, 4))
+        t = jnp.zeros((1,))
+        ctx = jnp.zeros((1, 77, C.TINY_UNET.cross_attention_dim))
+        pooled = jnp.zeros((1, pooled_dim))
+        tids = jnp.zeros((1, 6))
+        cn_ds = 2 ** (len(C.TINY_CONTROLNET.conditioning_embedding_channels) - 1)
+        cond = jnp.zeros((1, lat_hw * cn_ds, lat_hw * cn_ds, 3))
+
+        ks = jax.random.split(key, 5)
+        self.modules = stages.PipelineModules(
+            unet=unet,
+            controlnet=cn,
+            vae=vae,
+            text_encoder=te1,
+            text_encoder_2=te2,
+            unet_params=unet.init(ks[0], lat, t, ctx, pooled, tids)["params"],
+            controlnet_params=cn.init(ks[1], lat, t, ctx, pooled, tids, cond)[
+                "params"
+            ],
+            vae_params=vae.init(ks[2], jnp.zeros((1, r, r, 3)), ks[2])["params"],
+            text_encoder_params=te1.init(
+                ks[3], jnp.zeros((1, 77), jnp.int32)
+            )["params"],
+            text_encoder_2_params=te2.init(
+                ks[4], jnp.zeros((1, 77), jnp.int32)
+            )["params"],
+            vae_scaling_factor=C.TINY_VAE.scaling_factor,
+        )
+        vs = C.TINY_TEXT_ENCODER.vocab_size
+        self.tokenizer = CLIPTokenizer.synthetic(vocab_size=vs)
+        self.tokenizer_2 = CLIPTokenizer.synthetic(vocab_size=vs, pad_token_id=0)
+        # ControlNet cond image resolution may differ from pixel resolution
+        # for tiny configs (fewer cond-embedding stages).
+        self._control_res = lat_hw * cn_ds
+
+    def _load_checkpoint(self, ckpt_dir: str):
+        if not os.path.isdir(ckpt_dir):
+            raise FileNotFoundError(
+                f"Checkpoint directory not found: {ckpt_dir}. Convert the HF "
+                "weights offline with tools/convert_checkpoint.py (this "
+                "framework never downloads at runtime)."
+            )
+        dt = self.dtype
+        load = ckpt_io.load_params
+        cfg = ckpt_io.load_config
+
+        cn_name = "controlnet_full" if self.use_full_controlnet else "controlnet"
+        if not os.path.isdir(os.path.join(ckpt_dir, cn_name)):
+            cn_name = "controlnet"  # fall back to whichever variant shipped
+
+        unet_cfg = cfg(os.path.join(ckpt_dir, "unet"), C.UNetConfig)
+        cn_cfg = cfg(os.path.join(ckpt_dir, cn_name), C.ControlNetConfig)
+        vae_cfg = cfg(os.path.join(ckpt_dir, "vae"), C.VAEConfig)
+        te1_cfg = cfg(os.path.join(ckpt_dir, "text_encoder"), C.CLIPTextConfig)
+        te2_cfg = cfg(os.path.join(ckpt_dir, "text_encoder_2"), C.CLIPTextConfig)
+
+        self.modules = stages.PipelineModules(
+            unet=UNet2DConditionModel(unet_cfg, dtype=dt, param_dtype=dt),
+            controlnet=ControlNetModel(cn_cfg, dtype=dt, param_dtype=dt),
+            vae=AutoencoderKL(vae_cfg, dtype=dt, param_dtype=dt),
+            text_encoder=CLIPTextModel(te1_cfg, dtype=dt, param_dtype=dt),
+            text_encoder_2=CLIPTextModel(te2_cfg, dtype=dt, param_dtype=dt),
+            unet_params=load(os.path.join(ckpt_dir, "unet"), dt),
+            controlnet_params=load(os.path.join(ckpt_dir, cn_name), dt),
+            vae_params=load(os.path.join(ckpt_dir, "vae"), dt),
+            text_encoder_params=load(os.path.join(ckpt_dir, "text_encoder"), dt),
+            text_encoder_2_params=load(os.path.join(ckpt_dir, "text_encoder_2"), dt),
+            vae_scaling_factor=vae_cfg.scaling_factor,
+        )
+        self.tokenizer = CLIPTokenizer.from_dir(os.path.join(ckpt_dir, "tokenizer"))
+        self.tokenizer_2 = CLIPTokenizer.from_dir(
+            os.path.join(ckpt_dir, "tokenizer_2"), pad_token_id=0
+        )
+        self._control_res = self.resolution
+
+    # ------------------------------------------------------------ preprocess
+
+    def preprocess_image(
+        self, image: Image.Image, low_threshold: int = 100, high_threshold: int = 200
+    ) -> Image.Image:
+        """PIL RGB -> Canny edge map as 3-channel RGB PIL (ControlNet input).
+
+        Mirrors reference src/pipeline.py:183-210 (cv2.Canny semantics,
+        implemented in ops/canny.py and run on-device).
+        """
+        arr = np.asarray(image.convert("RGB"), dtype=np.float32)
+        edges = np.asarray(
+            self._canny(jnp.asarray(arr), float(low_threshold), float(high_threshold))
+        )
+        return Image.fromarray(np.stack([edges] * 3, axis=2))
+
+    # ------------------------------------------------------------------ edit
+
+    def _encode_prompt_cached(self, prompt: str):
+        if prompt not in self._prompt_cache:
+            ids1 = jnp.asarray(self.tokenizer.encode(prompt))[None]
+            ids2 = jnp.asarray(self.tokenizer_2.encode(prompt))[None]
+            ctx, pooled = self._encode_prompt(ids1, ids2)
+            self._prompt_cache[prompt] = (ctx, pooled)
+            if len(self._prompt_cache) > 4096:
+                self._prompt_cache.pop(next(iter(self._prompt_cache)))
+        return self._prompt_cache[prompt]
+
+    def edit(
+        self,
+        image: Image.Image,
+        prompt: str,
+        negative_prompt: str = "",
+        strength: float = 0.80,
+        num_inference_steps: int = 4,
+        guidance_scale: float = 1.5,
+        controlnet_conditioning_scale: float = 0.5,
+        canny_low_threshold: int = 100,
+        canny_high_threshold: int = 200,
+        seed: Optional[int] = None,
+    ) -> Image.Image:
+        """Edit ``image`` per ``prompt``; returns the edited PIL image.
+
+        Same signature and defaults as reference src/pipeline.py:212-224
+        (plus ``strength``, which the reference hardcodes at 0.80).
+        """
+        r = self.resolution
+        input_image = resize(image.convert("RGB"), r)
+        img01 = pil_to_float(input_image)  # [H, W, 3] in [0, 1]
+
+        # Canny control image, on device.
+        edges = self._canny(
+            jnp.asarray(img01 * 255.0),
+            float(canny_low_threshold),
+            float(canny_high_threshold),
+        )
+        control = (
+            jnp.stack([edges] * 3, axis=-1).astype(jnp.float32)[None] / 255.0
+        )
+        if self._control_res != r:
+            control = jax.image.resize(
+                control, (1, self._control_res, self._control_res, 3), "nearest"
+            )
+
+        # Prompt embeddings (cached per prompt string for batch sweeps).
+        do_cfg = guidance_scale > 1.0
+        ctx_c, pooled_c = self._encode_prompt_cached(prompt)
+        if do_cfg:
+            ctx_u, pooled_u = self._encode_prompt_cached(negative_prompt)
+            context = jnp.concatenate([ctx_u, ctx_c])
+            pooled = jnp.concatenate([pooled_u, pooled_c])
+        else:
+            context, pooled = ctx_c, pooled_c
+        time_ids = stages.make_sdxl_time_ids(context.shape[0], r)
+
+        if seed is None:
+            seed = int.from_bytes(os.urandom(4), "little")
+        key = jax.random.PRNGKey(seed)
+        key, k_enc, k_loop = jax.random.split(key, 3)
+
+        latents = self._vae_encode(
+            jnp.asarray(img01 * 2.0 - 1.0, dtype=self.dtype)[None], k_enc
+        )
+        schedule = make_schedule(
+            self.scheduler_config, num_inference_steps, strength=strength
+        )
+        latents = self._denoise(
+            latents,
+            context,
+            pooled,
+            time_ids,
+            control.astype(self.dtype),
+            schedule,
+            jnp.float32(guidance_scale),
+            jnp.float32(controlnet_conditioning_scale),
+            k_loop,
+            do_cfg=do_cfg,
+        )
+        img = self._vae_decode(latents)
+        return float_to_pil(np.asarray(img[0]))
+
+    def edit_batch(
+        self,
+        images: list,
+        prompts: list,
+        negative_prompt: str = "",
+        strength: float = 0.80,
+        num_inference_steps: int = 4,
+        guidance_scale: float = 1.5,
+        controlnet_conditioning_scale: float = 0.5,
+        canny_low_threshold: int = 100,
+        canny_high_threshold: int = 200,
+        seed: Optional[int] = None,
+    ) -> list:
+        """Edit a batch of images in one device program.
+
+        With ``enable_data_parallel()`` the batch dim is sharded over the
+        mesh — the TPU replacement for the reference's sequential loop
+        (run_batch.py:176).  With a fixed ``seed``, every image receives the
+        same noise stream, matching the reference's same-seeded per-image
+        generators.
+        """
+        assert len(images) == len(prompts) and images
+        b = len(images)
+        r = self.resolution
+        img01 = np.stack(
+            [pil_to_float(resize(im.convert("RGB"), r)) for im in images]
+        )
+
+        edges = self._canny_batch(
+            jnp.asarray(img01 * 255.0),
+            float(canny_low_threshold),
+            float(canny_high_threshold),
+        )
+        control = (
+            jnp.stack([edges] * 3, axis=-1).astype(jnp.float32) / 255.0
+        )
+        if self._control_res != r:
+            control = jax.image.resize(
+                control, (b, self._control_res, self._control_res, 3), "nearest"
+            )
+
+        do_cfg = guidance_scale > 1.0
+        enc = [self._encode_prompt_cached(p) for p in prompts]
+        ctx_c = jnp.concatenate([e[0] for e in enc])
+        pooled_c = jnp.concatenate([e[1] for e in enc])
+        if do_cfg:
+            ctx_u1, pooled_u1 = self._encode_prompt_cached(negative_prompt)
+            ctx_u = jnp.tile(ctx_u1, (b, 1, 1))
+            pooled_u = jnp.tile(pooled_u1, (b, 1))
+            context = jnp.concatenate([ctx_u, ctx_c])
+            pooled = jnp.concatenate([pooled_u, pooled_c])
+        else:
+            context, pooled = ctx_c, pooled_c
+        time_ids = stages.make_sdxl_time_ids(context.shape[0], r)
+
+        tile = seed is not None
+        if seed is None:
+            seed = int.from_bytes(os.urandom(4), "little")
+        key, k_enc, k_loop = jax.random.split(jax.random.PRNGKey(seed), 3)
+
+        image_in = jnp.asarray(img01 * 2.0 - 1.0, dtype=self.dtype)
+        control = control.astype(self.dtype)
+        if self.mesh is not None:
+            from fastedit_tpu.parallel import mesh as mesh_lib
+
+            image_in, control, context, pooled, time_ids = (
+                mesh_lib.shard_batch(x, self.mesh)
+                for x in (image_in, control, context, pooled, time_ids)
+            )
+
+        latents = self._vae_encode(image_in, k_enc, tile_noise=tile)
+        schedule = make_schedule(
+            self.scheduler_config, num_inference_steps, strength=strength
+        )
+        latents = self._denoise(
+            latents,
+            context,
+            pooled,
+            time_ids,
+            control,
+            schedule,
+            jnp.float32(guidance_scale),
+            jnp.float32(controlnet_conditioning_scale),
+            k_loop,
+            do_cfg=do_cfg,
+            tile_noise=tile,
+        )
+        out = np.asarray(self._vae_decode(latents))
+        return [float_to_pil(out[i]) for i in range(b)]
+
+    # ----------------------------------------------------------------- misc
+
+    def clear_memory(self):
+        """Drop cached prompt embeddings (device weights stay resident)."""
+        self._prompt_cache.clear()
+
+    def get_memory_usage(self):
+        """Device memory stats (replaces torch.cuda.memory_allocated at
+        reference src/pipeline.py:281-293)."""
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            return {
+                "allocated_gb": stats.get("bytes_in_use", 0) / 1024**3,
+                "reserved_gb": stats.get("bytes_limit", 0) / 1024**3,
+            }
+        except Exception:
+            return {"allocated_gb": 0.0, "reserved_gb": 0.0}
+
+    def warmup(self, **edit_kwargs):
+        """Compile all stages with a dummy edit (first compile is slow)."""
+        dummy = Image.new("RGB", (self.resolution, self.resolution), (128, 128, 128))
+        t0 = time.time()
+        self.edit(dummy, "warmup", seed=0, **edit_kwargs)
+        return time.time() - t0

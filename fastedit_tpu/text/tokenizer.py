@@ -1,0 +1,188 @@
+"""First-party CLIP BPE tokenizer (pure Python, no hub downloads).
+
+Replaces the ``transformers`` CLIPTokenizer pair the reference loads
+transitively with the diffusers pipeline (SURVEY.md §2.2 E6).  Loads
+``vocab.json`` + ``merges.txt`` from a local checkpoint directory (the
+offline converter copies them out of the HF snapshot).  Implements the CLIP
+scheme: lowercase + whitespace normalization, byte->unicode mapping, BPE
+over word pieces with a ``</w>`` end-of-word marker, and
+``<|startoftext|> ... <|endoftext|>`` framing padded to 77 tokens.
+
+SDXL detail: tower 1 (ViT-L) pads with the EOS token, tower 2 (OpenCLIP
+bigG) pads with token 0 — ``pad_token_id`` is a constructor arg.
+"""
+
+from __future__ import annotations
+
+import functools
+import html
+import json
+import os
+import re
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+
+@functools.lru_cache()
+def bytes_to_unicode() -> Dict[int, str]:
+    """GPT-2/CLIP reversible byte <-> unicode-char mapping."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+def _get_pairs(word: Tuple[str, ...]) -> set:
+    return {(a, b) for a, b in zip(word, word[1:])}
+
+
+# CLIP's splitting pattern, with Python-re-compatible unicode classes.
+_PAT = re.compile(
+    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+    r"|[^\s\d\W]+|\d|[^\s\w]+",
+    re.IGNORECASE,
+)
+
+
+class CLIPTokenizer:
+    """CLIP BPE tokenizer reading vocab.json/merges.txt from disk."""
+
+    def __init__(
+        self,
+        encoder: Dict[str, int],
+        merges: List[Tuple[str, str]],
+        max_length: int = 77,
+        pad_token_id: int | None = None,
+    ):
+        self.encoder = encoder
+        self.decoder = {v: k for k, v in self.encoder.items()}
+        self.bpe_ranks = {m: i for i, m in enumerate(merges) if len(m) == 2}
+        self.byte_encoder = bytes_to_unicode()
+        self.max_length = max_length
+        self.bos_token_id = self.encoder["<|startoftext|>"]
+        self.eos_token_id = self.encoder["<|endoftext|>"]
+        self.pad_token_id = (
+            pad_token_id if pad_token_id is not None else self.eos_token_id
+        )
+        self._cache: Dict[str, str] = {}
+
+    @classmethod
+    def from_files(
+        cls, vocab_file: str, merges_file: str, **kw
+    ) -> "CLIPTokenizer":
+        with open(vocab_file, encoding="utf-8") as f:
+            encoder = json.load(f)
+        with open(merges_file, encoding="utf-8") as f:
+            lines = f.read().split("\n")
+        # First line of the standard file is a version header.
+        merges = [
+            tuple(line.split())
+            for line in lines
+            if line and not line.startswith("#version")
+        ]
+        return cls(encoder, merges, **kw)
+
+    @classmethod
+    def from_dir(cls, path: str, **kw) -> "CLIPTokenizer":
+        return cls.from_files(
+            os.path.join(path, "vocab.json"), os.path.join(path, "merges.txt"), **kw
+        )
+
+    @classmethod
+    def synthetic(
+        cls, vocab_size: int = 1000, max_length: int = 77, pad_token_id=None
+    ) -> "CLIPTokenizer":
+        """In-memory English-ish vocab for the tiny random-weight smoke model
+        (bos = vocab_size-2, eos = vocab_size-1; no merges)."""
+        chars = list(bytes_to_unicode().values())
+        vocab: Dict[str, int] = {}
+        for c in chars:
+            vocab[c] = len(vocab)
+        for c in chars:
+            vocab[c + "</w>"] = len(vocab)
+        assert len(vocab) <= vocab_size - 2, "vocab_size too small for byte vocab"
+        i = 0
+        while len(vocab) < vocab_size - 2:
+            vocab[f"<unused{i}>"] = len(vocab)
+            i += 1
+        vocab["<|startoftext|>"] = vocab_size - 2
+        vocab["<|endoftext|>"] = vocab_size - 1
+        return cls(vocab, [], max_length=max_length, pad_token_id=pad_token_id)
+
+    def _bpe(self, token: str) -> str:
+        if token in self._cache:
+            return self._cache[token]
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        pairs = _get_pairs(word)
+        if not pairs:
+            return token + "</w>"
+        while True:
+            bigram = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            new_word: List[str] = []
+            i = 0
+            while i < len(word):
+                try:
+                    j = word.index(first, i)
+                except ValueError:
+                    new_word.extend(word[i:])
+                    break
+                new_word.extend(word[i:j])
+                i = j
+                if i < len(word) - 1 and word[i + 1] == second:
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+            if len(word) == 1:
+                break
+            pairs = _get_pairs(word)
+        out = " ".join(word)
+        self._cache[token] = out
+        return out
+
+    def _normalize(self, text: str) -> str:
+        text = html.unescape(html.unescape(text))
+        text = re.sub(r"\s+", " ", text).strip()
+        return text.lower()
+
+    def tokenize(self, text: str) -> List[int]:
+        """Raw BPE token ids (no special tokens, no padding)."""
+        ids: List[int] = []
+        for token in _PAT.findall(self._normalize(text)):
+            token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
+            ids.extend(
+                self.encoder[t] for t in self._bpe(token).split(" ")
+            )
+        return ids
+
+    def encode(self, text: str) -> np.ndarray:
+        """[max_length] int32: BOS + tokens (truncated) + EOS + padding."""
+        ids = self.tokenize(text)[: self.max_length - 2]
+        full = [self.bos_token_id] + ids + [self.eos_token_id]
+        full += [self.pad_token_id] * (self.max_length - len(full))
+        return np.asarray(full, dtype=np.int32)
+
+    def batch_encode(self, texts: Sequence[str]) -> np.ndarray:
+        return np.stack([self.encode(t) for t in texts])
+
+    def decode(self, ids: Sequence[int]) -> str:
+        specials = {self.bos_token_id, self.eos_token_id, self.pad_token_id}
+        text = "".join(self.decoder[i] for i in ids if i not in specials)
+        byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+        raw = bytearray(byte_decoder[c] for c in text if c in byte_decoder)
+        return raw.decode("utf-8", errors="replace").replace("</w>", " ").strip()

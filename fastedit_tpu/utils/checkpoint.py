@@ -1,0 +1,109 @@
+"""Checkpoint I/O: flat-key safetensors + dataclass config JSON per module.
+
+Layout written by tools/convert_checkpoint.py and read by the pipeline:
+
+    <ckpt_dir>/
+      meta.json                         {"model_name", "precision", ...}
+      unet/        config.json weights.safetensors
+      controlnet/  config.json weights.safetensors
+      vae/         config.json weights.safetensors
+      text_encoder/   config.json weights.safetensors
+      text_encoder_2/ config.json weights.safetensors
+      tokenizer/   vocab.json merges.txt
+      tokenizer_2/ vocab.json merges.txt
+
+Weights are stored flat ("a/b/c" keys) in bf16 or fp32 numpy (bf16 via
+ml_dtypes, which safetensors' numpy backend round-trips).  This replaces the
+reference's HF-Hub auto-download path (SURVEY.md §5 checkpoint row).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from safetensors.numpy import load_file, save_file
+
+
+def flatten(tree: Dict[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_params(path: str, params: Dict[str, Any], dtype=None) -> None:
+    """Save a (possibly nested) param tree to ``<path>/weights.safetensors``."""
+    os.makedirs(path, exist_ok=True)
+    flat = flatten(params)
+    if dtype is not None:
+        flat = {k: np.asarray(v).astype(dtype) for k, v in flat.items()}
+    save_file(flat, os.path.join(path, "weights.safetensors"))
+
+
+def load_params(path: str, dtype=None) -> Dict[str, Any]:
+    flat = load_file(os.path.join(path, "weights.safetensors"))
+    if dtype is not None:
+        flat = {k: v.astype(dtype) for k, v in flat.items()}
+    return unflatten(flat)
+
+
+def save_config(path: str, config: Any) -> None:
+    os.makedirs(path, exist_ok=True)
+    d = dataclasses.asdict(config)
+    d["__class__"] = type(config).__name__
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(d, f, indent=2)
+
+
+def load_config(path: str, cls) -> Any:
+    with open(os.path.join(path, "config.json")) as f:
+        d = json.load(f)
+    d.pop("__class__", None)
+
+    def tupleize(x):
+        return tuple(tupleize(e) for e in x) if isinstance(x, list) else x
+
+    field_types = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for k, v in d.items():
+        if k not in field_types:
+            continue
+        v = tupleize(v)
+        if dataclasses.is_dataclass(field_types[k].type) or k == "unet":
+            # nested config dataclass (ControlNetConfig.unet)
+            from fastedit_tpu.models.configs import UNetConfig
+
+            v = UNetConfig(**{kk: tupleize(vv) for kk, vv in d[k].items()})
+        kwargs[k] = v
+    return cls(**kwargs)
+
+
+def tree_size_bytes(params: Dict[str, Any]) -> int:
+    return sum(
+        x.size * x.dtype.itemsize for x in jax.tree.leaves(params)
+    )
+
+
+def cast_tree(params, dtype):
+    return jax.tree.map(lambda x: jnp.asarray(x, dtype=dtype), params)

@@ -1,0 +1,105 @@
+"""Metric tests: functional metric math + calculator facade properties."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from fastedit_tpu.metrics import functional as F
+from fastedit_tpu.metrics.calculator import MetricsCalculator
+from fastedit_tpu.metrics.dino import dino_distance, keys_self_similarity
+
+RNG = np.random.default_rng(5)
+
+
+def _rand_img(n=64):
+    return jnp.asarray(RNG.uniform(0, 1, (1, n, n, 3)).astype(np.float32))
+
+
+def test_ssim_identity_is_one():
+    x = _rand_img()
+    np.testing.assert_allclose(float(F.ssim(x, x)), 1.0, atol=1e-6)
+
+
+def test_ssim_decreases_with_noise():
+    x = _rand_img()
+    noise = jnp.asarray(RNG.normal(0, 1, x.shape).astype(np.float32))
+    s_small = float(F.ssim(x, jnp.clip(x + 0.02 * noise, 0, 1)))
+    s_big = float(F.ssim(x, jnp.clip(x + 0.3 * noise, 0, 1)))
+    assert 0 < s_big < s_small < 1
+
+
+def test_ssim_symmetry():
+    x, y = _rand_img(), _rand_img()
+    np.testing.assert_allclose(float(F.ssim(x, y)), float(F.ssim(y, x)), atol=1e-6)
+
+
+def test_ssim_constant_shift():
+    """Known closed form: constant images differing by d."""
+    x = jnp.full((1, 32, 32, 1), 0.4)
+    y = jnp.full((1, 32, 32, 1), 0.6)
+    c1, c2 = 0.01**2, 0.03**2
+    expected = ((2 * 0.4 * 0.6 + c1) * c2) / ((0.4**2 + 0.6**2 + c1) * c2)
+    np.testing.assert_allclose(float(F.ssim(x, y)), expected, rtol=1e-4)
+
+
+def test_psnr_known_value():
+    x = jnp.zeros((1, 8, 8, 3))
+    y = jnp.full((1, 8, 8, 3), 0.1)
+    np.testing.assert_allclose(
+        float(F.psnr(x, y)), 10 * np.log10(1.0 / 0.01), rtol=1e-5
+    )
+
+
+def test_mse():
+    x = jnp.zeros((1, 4, 4, 3))
+    y = jnp.full((1, 4, 4, 3), 0.5)
+    np.testing.assert_allclose(float(F.mse(x, y)), 0.25, rtol=1e-6)
+
+
+def test_dino_self_similarity_properties():
+    keys = jnp.asarray(RNG.normal(0, 1, (1, 2, 10, 8)).astype(np.float32))
+    sim = keys_self_similarity(keys)
+    assert sim.shape == (1, 10, 10)
+    np.testing.assert_allclose(np.asarray(jnp.diagonal(sim[0])), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sim), np.asarray(sim).transpose(0, 2, 1), atol=1e-5)
+    assert float(dino_distance(keys, keys)) == 0.0
+
+
+@pytest.fixture(scope="module")
+def calc():
+    return MetricsCalculator(device="cpu", tiny=True)
+
+
+def _pil(n=64, seed=0):
+    r = np.random.default_rng(seed)
+    return Image.fromarray(r.integers(0, 255, (n, n, 3), dtype=np.uint8), "RGB")
+
+
+def test_calculator_identity_pair(calc):
+    img = _pil()
+    m = calc.calculate_all_metrics(img, img, "a cat")
+    np.testing.assert_allclose(m["ssim"], 1.0, atol=1e-5)
+    assert m["mse"] == 0.0
+    assert m["lpips"] == pytest.approx(0.0, abs=1e-5)
+    assert m["dino_distance"] == pytest.approx(0.0, abs=1e-6)
+    assert np.isinf(m["psnr"]) or m["psnr"] > 80
+    assert 0.0 <= m["clip_score"] <= 100.0
+
+
+def test_calculator_distinct_pair(calc):
+    a, b = _pil(seed=1), _pil(seed=2)
+    m = calc.calculate_all_metrics(a, b, "a dog")
+    assert m["ssim"] < 0.9
+    assert m["mse"] > 0
+    assert m["lpips"] != 0.0  # random-init heads may flip sign; nonzero suffices
+    assert m["dino_distance"] >= 0
+    assert all(np.isfinite(v) for k, v in m.items() if k != "psnr")
+
+
+def test_calculator_resizes_any_input(calc):
+    a = _pil(100, seed=3)
+    b = _pil(64, seed=4)
+    m = calc.calculate_all_metrics(a, b, "x")
+    assert np.isfinite(m["ssim"])
