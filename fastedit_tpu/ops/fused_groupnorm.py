@@ -1,0 +1,130 @@
+"""Pallas fused GroupNorm(+SiLU) over NHWC — two-phase tiled reduction.
+
+SURVEY.md §2.3 native-tier item 2.  A GroupNorm needs global (H, W, C/G)
+statistics, so a tiled kernel runs two phases over the same H-tiles (TPU
+grid cells execute sequentially, scratch persists):
+
+  phase 0: accumulate per-group sum / sum-of-squares into VMEM scratch;
+  phase 1: re-read each tile, normalize + affine (+ SiLU), write out.
+
+Memory traffic is 2 reads + 1 write — identical to what XLA emits for the
+unfused reduce+normalize chain, so this kernel is an *opt-in* (ops/flags.py
+defaults it off unless benchmarked faster on the target shape; see
+bench_kernels.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fastedit_tpu.ops import flags
+from fastedit_tpu.ops.groupnorm import group_norm_xla
+
+_STAT_ROWS = 8  # min sublane tile; row 0 = sum, row 1 = sum of squares
+
+
+def _gn_kernel(x_ref, gamma_ref, beta_ref, o_ref, stats_ref, *,
+               num_groups, eps, act, n_per_group):
+    phase = pl.program_id(1)
+    x = x_ref[0].astype(jnp.float32)  # [Ht, W, C]
+    ht, w, c = x.shape
+    cg = c // num_groups
+
+    @pl.when(jnp.logical_and(phase == 0, pl.program_id(2) == 0))
+    def _init():
+        stats_ref[:] = jnp.zeros_like(stats_ref)
+
+    @pl.when(phase == 0)
+    def _accumulate():
+        flat = x.reshape(ht * w, c)
+        csum = jnp.sum(flat, axis=0)  # [C]
+        csumsq = jnp.sum(flat * flat, axis=0)
+        gsum = jnp.sum(csum.reshape(num_groups, cg), axis=1)  # [G]
+        gsumsq = jnp.sum(csumsq.reshape(num_groups, cg), axis=1)
+        stats_ref[0, :num_groups] += gsum
+        stats_ref[1, :num_groups] += gsumsq
+
+    @pl.when(phase == 1)
+    def _normalize():
+        n = jnp.float32(n_per_group)
+        mean_g = stats_ref[0, :num_groups] / n  # [G]
+        var_g = stats_ref[1, :num_groups] / n - mean_g * mean_g
+        inv_g = jax.lax.rsqrt(var_g + eps)
+        mean_c = jnp.repeat(mean_g, cg)  # [C]
+        inv_c = jnp.repeat(inv_g, cg)
+        gamma = gamma_ref[0].astype(jnp.float32)
+        beta = beta_ref[0].astype(jnp.float32)
+        y = (x - mean_c) * (inv_c * gamma) + beta
+        if act == "silu":
+            y = y * jax.nn.sigmoid(y)
+        o_ref[0] = y.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_groups", "eps", "act", "block_h")
+)
+def _fused_gn_4d(x, gamma, beta, num_groups, eps, act, block_h):
+    b, h, w, c = x.shape
+    grid = (b, 2, h // block_h)
+    kernel = functools.partial(
+        _gn_kernel,
+        num_groups=num_groups,
+        eps=eps,
+        act=act,
+        n_per_group=h * w * (c // num_groups),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_h, w, c), lambda b, p, t: (b, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, c), lambda b, p, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda b, p, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_h, w, c), lambda b, p, t: (b, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((_STAT_ROWS, 128), jnp.float32)],
+        interpret=flags.FLAGS.pallas_interpret,
+    )(x, gamma.reshape(1, c), beta.reshape(1, c))
+
+
+def _pick_block_h(h: int, w: int, c: int, itemsize: int) -> int | None:
+    budget = 6 * 1024 * 1024  # VMEM budget for in+out blocks
+    for bh in (64, 32, 16, 8, 4, 2, 1):
+        if h % bh == 0 and 2 * bh * w * c * max(itemsize, 4) <= budget:
+            return bh
+    return None
+
+
+def supports(shape, num_groups: int) -> bool:
+    if len(shape) != 4:
+        return False
+    _, h, w, c = shape
+    if c % num_groups != 0 or num_groups > 128:
+        return False
+    return _pick_block_h(h, w, c, 4) is not None
+
+
+def fused_group_norm(
+    x: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    act: str | None = None,
+) -> jax.Array:
+    if not supports(x.shape, num_groups):
+        return group_norm_xla(x, gamma, beta, num_groups, eps, act)
+    block_h = _pick_block_h(x.shape[1], x.shape[2], x.shape[3], x.dtype.itemsize)
+    return _fused_gn_4d(x, gamma, beta, num_groups, float(eps), act, block_h)

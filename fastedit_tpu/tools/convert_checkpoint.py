@@ -1,0 +1,169 @@
+"""Offline checkpoint converter: HF snapshots -> fastedit_tpu checkpoints.
+
+Replaces the reference's runtime HF-Hub downloads (src/pipeline.py:82-154;
+SURVEY.md §5 checkpoint row) with a one-time conversion producing bf16 (or
+fp32) safetensors in this framework's layout (utils/checkpoint.py docstring).
+
+Run on a machine with the HF snapshots on disk (this framework never
+downloads at runtime; the conversion machine can use `huggingface-cli
+download`).  Weight sources per model (same repos as the reference):
+
+  ssd-1b:  unet   <- latent-consistency/lcm-ssd-1b        (full LCM UNet)
+           others <- segmind/SSD-1B (text encoders, tokenizers)
+  sdxl:    unet   <- stabilityai/stable-diffusion-xl-base-1.0
+                     ⊕ latent-consistency/lcm-lora-sdxl   (fused offline)
+  both:    vae    <- madebyollin/sdxl-vae-fp16-fix (bf16) or
+                     stabilityai/sdxl-vae (fp32 parity runs)
+           controlnet <- diffusers/controlnet-canny-sdxl-1.0-small (+ full)
+  metrics: openai/clip-vit-base-patch16, torchvision squeezenet1_1 +
+           LPIPS linear heads, facebookresearch/dino dino_vitb8.
+
+Usage:
+    python -m fastedit_tpu.tools.convert_checkpoint unet \
+        --src /path/to/lcm-ssd-1b/unet --out checkpoints/ssd-1b/unet
+    python -m fastedit_tpu.tools.convert_checkpoint unet \
+        --src .../sdxl-base/unet --lora .../lcm-lora-sdxl/pytorch_lora_weights.safetensors \
+        --out checkpoints/sdxl/unet
+    ... (controlnet | vae | text_encoder | text_encoder_2 | clip_vision |
+         clip_text | dino | lpips | tokenizer)
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import sys
+from typing import Dict
+
+import numpy as np
+
+from fastedit_tpu.models import configs as C
+from fastedit_tpu.tools import hf_config, hf_mapping, lora
+from fastedit_tpu.utils import checkpoint as ckpt_io
+
+
+def load_hf_state_dict(src_dir: str) -> Dict[str, np.ndarray]:
+    """Load every *.safetensors under src_dir into one flat numpy dict."""
+    from safetensors.numpy import load_file
+
+    files = sorted(glob.glob(os.path.join(src_dir, "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(f"no .safetensors under {src_dir}")
+    sd: Dict[str, np.ndarray] = {}
+    for f in files:
+        sd.update(load_file(f))
+    return sd
+
+
+def load_hf_config(src_dir: str) -> dict:
+    with open(os.path.join(src_dir, "config.json")) as f:
+        return json.load(f)
+
+
+def _np_dtype(name: str):
+    if name in ("bf16", "bfloat16"):
+        import ml_dtypes
+
+        return ml_dtypes.bfloat16
+    return {"fp32": np.float32, "fp16": np.float16}[name]
+
+
+def convert_component(kind: str, src: str, out: str, dtype: str = "bf16",
+                      lora_path: str | None = None,
+                      heads_src: str | None = None) -> None:
+    np_dtype = _np_dtype(dtype)
+
+    if kind == "tokenizer":
+        os.makedirs(out, exist_ok=True)
+        for name in ("vocab.json", "merges.txt"):
+            shutil.copy(os.path.join(src, name), os.path.join(out, name))
+        print(f"[convert] tokenizer files -> {out}")
+        return
+
+    sd = load_hf_state_dict(src)
+    if kind == "unet":
+        cfg_json = load_hf_config(src)
+        cfg = hf_config.unet_config_from_hf(cfg_json)
+        if lora_path:
+            from safetensors.numpy import load_file
+
+            lora_sd = load_file(lora_path)
+            sd, n = lora.fuse_lora_into_state_dict(sd, lora_sd)
+            print(f"[convert] fused {n} LoRA modules into the UNet")
+        params = hf_mapping.convert_unet(sd, cfg)
+    elif kind == "controlnet":
+        cfg_json = load_hf_config(src)
+        cfg = hf_config.controlnet_config_from_hf(cfg_json)
+        params = hf_mapping.convert_controlnet(sd, cfg)
+    elif kind == "vae":
+        cfg_json = load_hf_config(src)
+        cfg = hf_config.vae_config_from_hf(cfg_json)
+        params = hf_mapping.convert_vae(sd, cfg)
+    elif kind in ("text_encoder", "text_encoder_2", "clip_text"):
+        cfg_json = load_hf_config(src)
+        with_proj = kind != "text_encoder" or "text_projection.weight" in sd
+        cfg = hf_config.clip_text_config_from_hf(cfg_json, with_projection=with_proj)
+        params = hf_mapping.convert_clip_text(sd, cfg)
+    elif kind == "clip_vision":
+        cfg_json = load_hf_config(src)
+        vcfg = cfg_json.get("vision_config", cfg_json)
+        cfg = C.CLIPVisionConfig(
+            image_size=vcfg.get("image_size", 224),
+            patch_size=vcfg.get("patch_size", 16),
+            hidden_size=vcfg.get("hidden_size", 768),
+            num_layers=vcfg.get("num_hidden_layers", 12),
+            num_heads=vcfg.get("num_attention_heads", 12),
+            intermediate_size=vcfg.get("intermediate_size", 3072),
+            projection_dim=cfg_json.get("projection_dim", 512),
+        )
+        params = hf_mapping.convert_clip_vision(sd, cfg)
+    elif kind == "dino":
+        n_layers = sum(1 for k in sd if k.endswith(".attn.qkv.weight"))
+        from fastedit_tpu.metrics.dino import DINOConfig
+
+        cfg = DINOConfig(num_layers=n_layers)
+        params = hf_mapping.convert_dino_vit(sd, n_layers)
+    elif kind == "lpips":
+        if heads_src is None:
+            raise ValueError("lpips conversion needs --heads_src")
+        heads = load_hf_state_dict(heads_src)
+        cfg = None
+        params = hf_mapping.convert_lpips_squeeze(sd, heads)
+    else:
+        raise ValueError(f"unknown component kind: {kind}")
+
+    ckpt_io.save_params(out, params, dtype=np_dtype)
+    if cfg is not None:
+        ckpt_io.save_config(out, cfg)
+    n_params = sum(np.asarray(x).size for x in ckpt_io.flatten(params).values())
+    print(f"[convert] {kind}: {n_params/1e6:.1f}M params -> {out} ({dtype})")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument(
+        "kind",
+        choices=[
+            "unet", "controlnet", "vae", "text_encoder", "text_encoder_2",
+            "clip_text", "clip_vision", "dino", "lpips", "tokenizer",
+        ],
+    )
+    p.add_argument("--src", required=True, help="HF snapshot component dir")
+    p.add_argument("--out", required=True, help="output checkpoint dir")
+    p.add_argument("--dtype", default="bf16", choices=["bf16", "fp16", "fp32"])
+    p.add_argument("--lora", default=None,
+                   help="LoRA safetensors to fuse (unet only; LCM-LoRA path)")
+    p.add_argument("--heads_src", default=None,
+                   help="LPIPS linear-head weights dir (lpips only)")
+    args = p.parse_args(argv)
+    convert_component(
+        args.kind, args.src, args.out, args.dtype, args.lora, args.heads_src
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

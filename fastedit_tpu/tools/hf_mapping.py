@@ -24,6 +24,7 @@ import numpy as np
 
 from fastedit_tpu.models.configs import (
     CLIPTextConfig,
+    CLIPVisionConfig,
     ControlNetConfig,
     UNetConfig,
     VAEConfig,
@@ -117,6 +118,104 @@ def convert_clip_text(sd_dict: Dict[str, np.ndarray], cfg: CLIPTextConfig) -> Pa
         }
     if cfg.projection_dim is not None:
         params["text_projection"] = _dense(sd, "text_projection", bias=False)
+    return params
+
+
+def _clip_encoder_layers(tm: _SD, num_layers: int, prefix: str) -> Params:
+    params: Params = {}
+    for i in range(num_layers):
+        layer = tm.scoped(f"{prefix}.layers.{i}.")
+        params[f"layers_{i}"] = {
+            "layer_norm1": _norm(layer, "layer_norm1"),
+            "layer_norm2": _norm(layer, "layer_norm2"),
+            "self_attn": {
+                "q_proj": _dense(layer, "self_attn.q_proj"),
+                "k_proj": _dense(layer, "self_attn.k_proj"),
+                "v_proj": _dense(layer, "self_attn.v_proj"),
+                "out_proj": _dense(layer, "self_attn.out_proj"),
+            },
+            "mlp_fc1": _dense(layer, "mlp.fc1"),
+            "mlp_fc2": _dense(layer, "mlp.fc2"),
+        }
+    return params
+
+
+def convert_clip_vision(
+    sd_dict: Dict[str, np.ndarray], cfg: CLIPVisionConfig
+) -> Params:
+    """transformers CLIPVisionModelWithProjection (or the vision half of
+    CLIPModel) -> our CLIPVisionModel params."""
+    sd = _SD(sd_dict)
+    vm = sd.scoped("vision_model.")
+    params: Params = {
+        "patch_embedding": {
+            "kernel": _conv(vm.take("embeddings.patch_embedding.weight"))
+        },
+        "class_embedding": vm.take("embeddings.class_embedding"),
+        "position_embedding": vm.take("embeddings.position_embedding.weight"),
+        "pre_layrnorm": _norm(vm, "pre_layrnorm"),
+        "post_layernorm": _norm(vm, "post_layernorm"),
+        "visual_projection": _dense(sd, "visual_projection", bias=False),
+    }
+    params.update(_clip_encoder_layers(vm, cfg.num_layers, "encoder"))
+    return params
+
+
+def convert_dino_vit(sd_dict: Dict[str, np.ndarray], num_layers: int) -> Params:
+    """facebookresearch/dino ViT (timm-style names) -> our DINOViT params."""
+    sd = _SD(sd_dict)
+    params: Params = {
+        "patch_embed": _conv2d(sd, "patch_embed.proj"),
+        "cls_token": sd.take("cls_token"),  # [1, 1, D]
+        "pos_embed": sd.take("pos_embed"),  # [1, N+1, D]
+    }
+    for i in range(num_layers):
+        b = sd.scoped(f"blocks.{i}.")
+        params[f"blocks_{i}"] = {
+            "norm1": _norm(b, "norm1"),
+            "qkv": _dense(b, "attn.qkv"),
+            "proj": _dense(b, "attn.proj"),
+            "norm2": _norm(b, "norm2"),
+            "fc1": _dense(b, "mlp.fc1"),
+            "fc2": _dense(b, "mlp.fc2"),
+        }
+    return params
+
+
+# SqueezeNet 1.1 torchvision feature indices -> our module names.
+_SQUEEZE_FIRES = {
+    3: "fire3", 4: "fire4", 6: "fire6", 7: "fire7",
+    9: "fire9", 10: "fire10", 11: "fire11", 12: "fire12",
+}
+
+
+def convert_lpips_squeeze(
+    backbone_sd: Dict[str, np.ndarray], heads_sd: Dict[str, np.ndarray]
+) -> Params:
+    """torchvision squeezenet1_1 features + LPIPS 1x1 linear heads -> LPIPS
+    params.  ``heads_sd`` keys: lin{0..6}.model.1.weight (lpips package) or
+    lins.{i}.model.1.weight (torchmetrics)."""
+    sd = _SD(backbone_sd)
+    net: Params = {"conv1": _conv2d(sd, "features.0")}
+    for idx, name in _SQUEEZE_FIRES.items():
+        f = sd.scoped(f"features.{idx}.")
+        net[name] = {
+            "squeeze": _conv2d(f, "squeeze"),
+            "expand1x1": _conv2d(f, "expand1x1"),
+            "expand3x3": _conv2d(f, "expand3x3"),
+        }
+    params: Params = {"net": net}
+    for i in range(7):
+        for key in (
+            f"lin{i}.model.1.weight",
+            f"lins.{i}.model.1.weight",
+            f"net.lin{i}.model.1.weight",
+        ):
+            if key in heads_sd:
+                params[f"lin{i}"] = {"kernel": _conv(np.asarray(heads_sd[key]))}
+                break
+        else:
+            raise MappingError(f"LPIPS head lin{i} not found in heads state dict")
     return params
 
 
