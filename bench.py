@@ -69,21 +69,30 @@ def main():
     cond = jnp.zeros((1, 1024, 1024, 3), dtype)
     ks = jax.random.split(key, 5)
     t0 = time.time()
+
+    def zero_init(init_fn, *args):
+        # Shapes via tracing only (no device compile); zero weights — edit
+        # latency is weight-value independent.
+        shapes = jax.eval_shape(init_fn, *args)["params"]
+        return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
     editor.modules = stages.PipelineModules(
         unet=unet,
         controlnet=cn,
         vae=vae,
         text_encoder=te1,
         text_encoder_2=te2,
-        unet_params=unet.init(ks[0], lat, t, ctx, pooled, tids)["params"],
-        controlnet_params=cn.init(ks[1], lat, t, ctx, pooled, tids, cond)["params"],
-        vae_params=vae.init(ks[2], jnp.zeros((1, 1024, 1024, 3), dtype), ks[2])[
-            "params"
-        ],
-        text_encoder_params=te1.init(ks[3], jnp.zeros((1, 77), jnp.int32))["params"],
-        text_encoder_2_params=te2.init(ks[4], jnp.zeros((1, 77), jnp.int32))[
-            "params"
-        ],
+        unet_params=zero_init(unet.init, ks[0], lat, t, ctx, pooled, tids),
+        controlnet_params=zero_init(cn.init, ks[1], lat, t, ctx, pooled, tids, cond),
+        vae_params=zero_init(
+            vae.init, ks[2], jnp.zeros((1, 1024, 1024, 3), dtype), ks[2]
+        ),
+        text_encoder_params=zero_init(
+            te1.init, ks[3], jnp.zeros((1, 77), jnp.int32)
+        ),
+        text_encoder_2_params=zero_init(
+            te2.init, ks[4], jnp.zeros((1, 77), jnp.int32)
+        ),
         vae_scaling_factor=C.SDXL_VAE.scaling_factor,
     )
     editor.tokenizer = CLIPTokenizer.synthetic(vocab_size=C.SDXL_TEXT_ENCODER.vocab_size)

@@ -110,13 +110,26 @@ class DINOViT(nn.Module):
         )
         x = x + pos.astype(x.dtype)
 
-        keys_out = None
-        for i in range(cfg.num_layers):
-            x, keys = DINOBlock(cfg, dtype=self.dtype, name=f"blocks_{i}")(x)
-            if i == layer:
-                keys_out = keys
-        assert keys_out is not None, f"layer {layer} out of range"
-        return keys_out
+        assert 0 <= layer < cfg.num_layers, f"layer {layer} out of range"
+        # scan over the homogeneous block stack; per-layer keys collected as
+        # scan outputs, then the requested layer selected.
+        _, all_keys = nn.scan(
+            _DINOScanBody,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=cfg.num_layers,
+        )(cfg, dtype=self.dtype, name="blocks")(x)
+        return all_keys[layer]
+
+
+class _DINOScanBody(nn.Module):
+    config: DINOConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x, keys = DINOBlock(self.config, dtype=self.dtype, name="block")(x)
+        return x, keys
 
 
 def keys_self_similarity(keys: jax.Array) -> jax.Array:

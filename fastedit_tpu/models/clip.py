@@ -81,6 +81,47 @@ class CLIPEncoderLayer(nn.Module):
         return x + h
 
 
+def _scan_encoder_layers(parent, cfg, x, mask, name, collect=False):
+    """Run ``cfg.num_layers`` CLIPEncoderLayers via nn.scan.
+
+    Params live under ``<name>`` with a stacked leading layer axis.  With
+    ``collect`` the per-layer outputs are returned stacked [L, B, S, D]
+    (needed for the penultimate hidden state); else only the final state.
+    """
+    scanned = nn.scan(
+        CLIPEncoderLayerScanBody,
+        variable_axes={"params": 0},
+        split_rngs={"params": True},
+        length=cfg.num_layers,
+        in_axes=nn.broadcast,
+    )(
+        cfg,
+        dtype=parent.dtype,
+        param_dtype=parent.param_dtype,
+        name=name,
+    )
+    final, ys = scanned(x, mask)
+    return ys if collect else final
+
+
+class CLIPEncoderLayerScanBody(nn.Module):
+    """scan body wrapper: carry = hidden state, y = hidden state."""
+
+    config: Any
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask):
+        x = CLIPEncoderLayer(
+            self.config,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="layer",
+        )(x, mask)
+        return x, x
+
+
 @dataclasses.dataclass
 class CLIPTextOutput:
     last_hidden_state: jax.Array  # [B, S, D] after final LayerNorm
@@ -125,16 +166,14 @@ class CLIPTextModel(nn.Module):
         causal = jnp.triu(jnp.full((s, s), -jnp.inf, dtype=jnp.float32), k=1)
         mask = causal[None, None]
 
-        penultimate = None
-        for i in range(cfg.num_layers):
-            if i == cfg.num_layers - 1:
-                penultimate = x
-            x = CLIPEncoderLayer(
-                cfg,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name=f"layers_{i}",
-            )(x, mask)
+        # lax.scan over the homogeneous layer stack (params stacked on axis
+        # 0): the 32-layer bigG tower compiles as ONE layer body instead of
+        # 32 inlined copies — compile time and HLO size drop ~L-fold.
+        hidden = _scan_encoder_layers(
+            self, cfg, x, mask, name="layers", collect=True
+        )
+        penultimate = hidden[cfg.num_layers - 2] if cfg.num_layers > 1 else x
+        x = hidden[cfg.num_layers - 1]
         x = LayerNorm(
             eps=cfg.layer_norm_eps,
             param_dtype=self.param_dtype,
@@ -207,11 +246,7 @@ class CLIPVisionModel(nn.Module):
         x = LayerNorm(
             eps=cfg.layer_norm_eps, param_dtype=self.param_dtype, name="pre_layrnorm"
         )(x)
-        for i in range(cfg.num_layers):
-            x = CLIPEncoderLayer(
-                cfg, dtype=self.dtype, param_dtype=self.param_dtype,
-                name=f"layers_{i}",
-            )(x, None)
+        x = _scan_encoder_layers(self, cfg, x, None, name="layers")
         pooled = LayerNorm(
             eps=cfg.layer_norm_eps,
             param_dtype=self.param_dtype,

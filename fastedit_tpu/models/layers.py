@@ -203,14 +203,42 @@ class Transformer2DModel(nn.Module):
         x = x.reshape(b, h * w, c)
         dense = partial(nn.Dense, dtype=self.dtype, param_dtype=self.param_dtype)
         x = dense(inner, name="proj_in")(x)
-        for i in range(self.depth):
-            x = BasicTransformerBlock(
-                dim=inner,
-                heads=self.heads,
-                head_dim=self.head_dim,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name=f"transformer_blocks_{i}",
-            )(x, context)
+        # lax.scan over the homogeneous block stack (params stacked on axis
+        # 0): SDXL's depth-10 stacks compile as one block body (also used at
+        # depth 1 so the param tree shape is uniform).
+        x, _ = nn.scan(
+            _TransformerScanBody,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.depth,
+            in_axes=nn.broadcast,
+        )(
+            dim=inner,
+            heads=self.heads,
+            head_dim=self.head_dim,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="transformer_blocks",
+        )(x, context)
         x = dense(c, name="proj_out")(x)
         return x.reshape(b, h, w, c) + residual
+
+
+class _TransformerScanBody(nn.Module):
+    dim: int
+    heads: int
+    head_dim: int
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        x = BasicTransformerBlock(
+            dim=self.dim,
+            heads=self.heads,
+            head_dim=self.head_dim,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="block",
+        )(x, context)
+        return x, None

@@ -10,6 +10,10 @@ Layout conversions:
   * torch Linear weight [out, in]  -> Flax Dense kernel [in, out] (transpose)
   * torch Conv2d weight [O, I, kh, kw] -> Flax Conv kernel [kh, kw, I, O]
   * norms: weight -> scale, bias -> bias
+  * homogeneous layer stacks (CLIP encoder layers, transformer blocks, DINO
+    blocks) are scanned via nn.scan in our models, so their per-layer HF
+    tensors are STACKED along a new leading axis under a single module
+    ("layers/layer", "transformer_blocks/block", "blocks/block").
 
 Reference binding points being replaced: src/pipeline.py:8-14 (diffusers
 UNet/ControlNet/VAE), transitively-loaded CLIP text towers (SURVEY.md §2.2
@@ -68,6 +72,18 @@ def _t(x: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(x.T)
 
 
+def stack_layer_trees(trees: list) -> Params:
+    """Stack identical per-layer param trees along a new leading axis."""
+    assert trees
+    out: Params = {}
+    for k, v in trees[0].items():
+        if isinstance(v, dict):
+            out[k] = stack_layer_trees([t[k] for t in trees])
+        else:
+            out[k] = np.stack([np.asarray(t[k]) for t in trees])
+    return out
+
+
 def _conv(x: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.transpose(x, (2, 3, 1, 0)))
 
@@ -101,43 +117,33 @@ def convert_clip_text(sd_dict: Dict[str, np.ndarray], cfg: CLIPTextConfig) -> Pa
         },
         "position_embedding": tm.take("embeddings.position_embedding.weight"),
         "final_layer_norm": _norm(tm, "final_layer_norm"),
+        "layers": _clip_encoder_layers(tm, cfg.num_layers, "encoder"),
     }
-    for i in range(cfg.num_layers):
-        layer = tm.scoped(f"encoder.layers.{i}.")
-        params[f"layers_{i}"] = {
-            "layer_norm1": _norm(layer, "layer_norm1"),
-            "layer_norm2": _norm(layer, "layer_norm2"),
-            "self_attn": {
-                "q_proj": _dense(layer, "self_attn.q_proj"),
-                "k_proj": _dense(layer, "self_attn.k_proj"),
-                "v_proj": _dense(layer, "self_attn.v_proj"),
-                "out_proj": _dense(layer, "self_attn.out_proj"),
-            },
-            "mlp_fc1": _dense(layer, "mlp.fc1"),
-            "mlp_fc2": _dense(layer, "mlp.fc2"),
-        }
     if cfg.projection_dim is not None:
         params["text_projection"] = _dense(sd, "text_projection", bias=False)
     return params
 
 
 def _clip_encoder_layers(tm: _SD, num_layers: int, prefix: str) -> Params:
-    params: Params = {}
+    """Per-layer HF tensors stacked for the nn.scan'd layer stack."""
+    per_layer = []
     for i in range(num_layers):
         layer = tm.scoped(f"{prefix}.layers.{i}.")
-        params[f"layers_{i}"] = {
-            "layer_norm1": _norm(layer, "layer_norm1"),
-            "layer_norm2": _norm(layer, "layer_norm2"),
-            "self_attn": {
-                "q_proj": _dense(layer, "self_attn.q_proj"),
-                "k_proj": _dense(layer, "self_attn.k_proj"),
-                "v_proj": _dense(layer, "self_attn.v_proj"),
-                "out_proj": _dense(layer, "self_attn.out_proj"),
-            },
-            "mlp_fc1": _dense(layer, "mlp.fc1"),
-            "mlp_fc2": _dense(layer, "mlp.fc2"),
-        }
-    return params
+        per_layer.append(
+            {
+                "layer_norm1": _norm(layer, "layer_norm1"),
+                "layer_norm2": _norm(layer, "layer_norm2"),
+                "self_attn": {
+                    "q_proj": _dense(layer, "self_attn.q_proj"),
+                    "k_proj": _dense(layer, "self_attn.k_proj"),
+                    "v_proj": _dense(layer, "self_attn.v_proj"),
+                    "out_proj": _dense(layer, "self_attn.out_proj"),
+                },
+                "mlp_fc1": _dense(layer, "mlp.fc1"),
+                "mlp_fc2": _dense(layer, "mlp.fc2"),
+            }
+        )
+    return {"layer": stack_layer_trees(per_layer)}
 
 
 def convert_clip_vision(
@@ -147,7 +153,7 @@ def convert_clip_vision(
     CLIPModel) -> our CLIPVisionModel params."""
     sd = _SD(sd_dict)
     vm = sd.scoped("vision_model.")
-    params: Params = {
+    return {
         "patch_embedding": {
             "kernel": _conv(vm.take("embeddings.patch_embedding.weight"))
         },
@@ -156,9 +162,8 @@ def convert_clip_vision(
         "pre_layrnorm": _norm(vm, "pre_layrnorm"),
         "post_layernorm": _norm(vm, "post_layernorm"),
         "visual_projection": _dense(sd, "visual_projection", bias=False),
+        "layers": _clip_encoder_layers(vm, cfg.num_layers, "encoder"),
     }
-    params.update(_clip_encoder_layers(vm, cfg.num_layers, "encoder"))
-    return params
 
 
 def convert_dino_vit(sd_dict: Dict[str, np.ndarray], num_layers: int) -> Params:
@@ -169,16 +174,20 @@ def convert_dino_vit(sd_dict: Dict[str, np.ndarray], num_layers: int) -> Params:
         "cls_token": sd.take("cls_token"),  # [1, 1, D]
         "pos_embed": sd.take("pos_embed"),  # [1, N+1, D]
     }
+    per_layer = []
     for i in range(num_layers):
         b = sd.scoped(f"blocks.{i}.")
-        params[f"blocks_{i}"] = {
-            "norm1": _norm(b, "norm1"),
-            "qkv": _dense(b, "attn.qkv"),
-            "proj": _dense(b, "attn.proj"),
-            "norm2": _norm(b, "norm2"),
-            "fc1": _dense(b, "mlp.fc1"),
-            "fc2": _dense(b, "mlp.fc2"),
-        }
+        per_layer.append(
+            {
+                "norm1": _norm(b, "norm1"),
+                "qkv": _dense(b, "attn.qkv"),
+                "proj": _dense(b, "attn.proj"),
+                "norm2": _norm(b, "norm2"),
+                "fc1": _dense(b, "mlp.fc1"),
+                "fc2": _dense(b, "mlp.fc2"),
+            }
+        )
+    params["blocks"] = {"block": stack_layer_trees(per_layer)}
     return params
 
 
@@ -266,16 +275,15 @@ def _transformer_block(sd: _SD, key: str) -> Params:
 
 def _transformer2d(sd: _SD, key: str, depth: int) -> Params:
     t = sd.scoped(key + ".")
-    p: Params = {
+    blocks = [
+        _transformer_block(t, f"transformer_blocks.{k}") for k in range(depth)
+    ]
+    return {
         "norm": _norm(t, "norm"),
         "proj_in": _dense(t, "proj_in"),
         "proj_out": _dense(t, "proj_out"),
+        "transformer_blocks": {"block": stack_layer_trees(blocks)},
     }
-    for k in range(depth):
-        p[f"transformer_blocks_{k}"] = _transformer_block(
-            t, f"transformer_blocks.{k}"
-        )
-    return p
 
 
 def _cond_embedder(sd: _SD) -> Params:

@@ -137,9 +137,21 @@ def _flatten(tree):
 
 
 def _synthesize_hf_sd(flat_ours: dict) -> dict:
-    """Invert our param tree into diffusers-style keys/layouts."""
-    sd = {}
+    """Invert our param tree into diffusers-style keys/layouts.
+
+    Scanned transformer stacks ("transformer_blocks/block/...") carry a
+    stacked leading axis — unstacked here into per-index HF keys.
+    """
+    expanded = {}
     for path, v in flat_ours.items():
+        if "/transformer_blocks/block/" in path:
+            head, tail = path.split("/transformer_blocks/block/", 1)
+            for k in range(v.shape[0]):
+                expanded[f"{head}/transformer_blocks.{k}/{tail}"] = v[k]
+        else:
+            expanded[path] = v
+    sd = {}
+    for path, v in expanded.items():
         parts = path.split("/")
         hf_parts = []
         for p in parts[:-1]:
