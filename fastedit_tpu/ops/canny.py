@@ -83,7 +83,13 @@ def _nms(mag: jax.Array, gx: jax.Array, gy: jax.Array) -> jax.Array:
 
 
 def _hysteresis(strong: jax.Array, weak: jax.Array) -> jax.Array:
-    """Grow strong edges through 8-connected weak pixels to a fixed point."""
+    """Grow strong edges through 8-connected weak pixels to a fixed point.
+
+    Each while iteration applies 8 dilation+mask steps (propagating edges up
+    to 8 px) before re-checking convergence — the fixed-point test is a full
+    reduction, so batching propagation steps cuts the sequential-loop length
+    ~8x for the same result.
+    """
 
     def dilate(x):
         p = jnp.pad(x, 1)
@@ -96,13 +102,18 @@ def _hysteresis(strong: jax.Array, weak: jax.Array) -> jax.Array:
                 out = out | p[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
         return out
 
+    def grow_8(x):
+        for _ in range(8):
+            x = dilate(x) & weak | x
+        return x
+
     def cond(state):
         cur, changed = state
         return changed
 
     def body(state):
         cur, _ = state
-        grown = dilate(cur) & weak | cur
+        grown = grow_8(cur)
         return grown, jnp.any(grown != cur)
 
     out, _ = jax.lax.while_loop(cond, body, (strong, jnp.asarray(True)))

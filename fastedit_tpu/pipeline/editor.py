@@ -36,7 +36,7 @@ from fastedit_tpu.pipeline import stages
 from fastedit_tpu.sched.lcm import LCMSchedulerConfig, make_schedule
 from fastedit_tpu.text.tokenizer import CLIPTokenizer
 from fastedit_tpu.utils import checkpoint as ckpt_io
-from fastedit_tpu.utils.image import float_to_pil, pil_to_float, resize
+from fastedit_tpu.utils.image import resize
 
 
 class FastEditor:
@@ -117,8 +117,10 @@ class FastEditor:
         self._vae_encode = stages.make_vae_encode(self.modules)
         self._vae_decode = stages.make_vae_decode(self.modules)
         self._denoise = stages.make_denoise(self.modules)
+        self._prepare, self._prepare_batch = stages.make_prepare_inputs(
+            self.modules, self._control_res
+        )
         self._canny = jax.jit(canny_jax)
-        self._canny_batch = jax.jit(jax.vmap(canny_jax, in_axes=(0, None, None)))
 
     def enable_data_parallel(self, mesh=None):
         """Shard future ``edit_batch`` calls over the device mesh (ICI DP):
@@ -279,21 +281,14 @@ class FastEditor:
         """
         r = self.resolution
         input_image = resize(image.convert("RGB"), r)
-        img01 = pil_to_float(input_image)  # [H, W, 3] in [0, 1]
-
-        # Canny control image, on device.
-        edges = self._canny(
-            jnp.asarray(img01 * 255.0),
-            float(canny_low_threshold),
-            float(canny_high_threshold),
+        # Single uint8 upload; Canny + normalization happen on device in one
+        # fused program (stages.make_prepare_inputs).
+        img_u8 = np.asarray(input_image, dtype=np.uint8)
+        control, vae_in = self._prepare(
+            jnp.asarray(img_u8),
+            jnp.float32(canny_low_threshold),
+            jnp.float32(canny_high_threshold),
         )
-        control = (
-            jnp.stack([edges] * 3, axis=-1).astype(jnp.float32)[None] / 255.0
-        )
-        if self._control_res != r:
-            control = jax.image.resize(
-                control, (1, self._control_res, self._control_res, 3), "nearest"
-            )
 
         # Prompt embeddings (cached per prompt string for batch sweeps).
         do_cfg = guidance_scale > 1.0
@@ -311,9 +306,7 @@ class FastEditor:
         key = jax.random.PRNGKey(seed)
         key, k_enc, k_loop = jax.random.split(key, 3)
 
-        latents = self._vae_encode(
-            jnp.asarray(img01 * 2.0 - 1.0, dtype=self.dtype)[None], k_enc
-        )
+        latents = self._vae_encode(vae_in, k_enc)
         schedule = make_schedule(
             self.scheduler_config, num_inference_steps, strength=strength
         )
@@ -322,15 +315,15 @@ class FastEditor:
             context,
             pooled,
             time_ids,
-            control.astype(self.dtype),
+            control,
             schedule,
             jnp.float32(guidance_scale),
             jnp.float32(controlnet_conditioning_scale),
             k_loop,
             do_cfg=do_cfg,
         )
-        img = self._vae_decode(latents)
-        return float_to_pil(np.asarray(img[0]))
+        img = self._vae_decode(latents)  # uint8 on device
+        return Image.fromarray(np.asarray(img[0]))
 
     def edit_batch(
         self,
@@ -356,22 +349,14 @@ class FastEditor:
         assert len(images) == len(prompts) and images
         b = len(images)
         r = self.resolution
-        img01 = np.stack(
-            [pil_to_float(resize(im.convert("RGB"), r)) for im in images]
+        img_u8 = np.stack(
+            [np.asarray(resize(im.convert("RGB"), r), dtype=np.uint8) for im in images]
         )
-
-        edges = self._canny_batch(
-            jnp.asarray(img01 * 255.0),
-            float(canny_low_threshold),
-            float(canny_high_threshold),
+        control, vae_in = self._prepare_batch(
+            jnp.asarray(img_u8),
+            jnp.float32(canny_low_threshold),
+            jnp.float32(canny_high_threshold),
         )
-        control = (
-            jnp.stack([edges] * 3, axis=-1).astype(jnp.float32) / 255.0
-        )
-        if self._control_res != r:
-            control = jax.image.resize(
-                control, (b, self._control_res, self._control_res, 3), "nearest"
-            )
 
         do_cfg = guidance_scale > 1.0
         enc = [self._encode_prompt_cached(p) for p in prompts]
@@ -392,17 +377,15 @@ class FastEditor:
             seed = int.from_bytes(os.urandom(4), "little")
         key, k_enc, k_loop = jax.random.split(jax.random.PRNGKey(seed), 3)
 
-        image_in = jnp.asarray(img01 * 2.0 - 1.0, dtype=self.dtype)
-        control = control.astype(self.dtype)
         if self.mesh is not None:
             from fastedit_tpu.parallel import mesh as mesh_lib
 
-            image_in, control, context, pooled, time_ids = (
+            vae_in, control, context, pooled, time_ids = (
                 mesh_lib.shard_batch(x, self.mesh)
-                for x in (image_in, control, context, pooled, time_ids)
+                for x in (vae_in, control, context, pooled, time_ids)
             )
 
-        latents = self._vae_encode(image_in, k_enc, tile_noise=tile)
+        latents = self._vae_encode(vae_in, k_enc, tile_noise=tile)
         schedule = make_schedule(
             self.scheduler_config, num_inference_steps, strength=strength
         )
@@ -419,8 +402,8 @@ class FastEditor:
             do_cfg=do_cfg,
             tile_noise=tile,
         )
-        out = np.asarray(self._vae_decode(latents))
-        return [float_to_pil(out[i]) for i in range(b)]
+        out = np.asarray(self._vae_decode(latents))  # uint8
+        return [Image.fromarray(out[i]) for i in range(b)]
 
     # ----------------------------------------------------------------- misc
 

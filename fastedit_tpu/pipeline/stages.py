@@ -105,11 +105,46 @@ def make_vae_decode(mod: PipelineModules):
 
     @jax.jit
     def vae_decode(params, latents: jax.Array) -> jax.Array:
-        """scaled latents -> image [B, H, W, 3] in [0, 1]."""
+        """scaled latents -> uint8 image [B, H, W, 3].
+
+        Quantization happens on device (PIL round-half-up semantics) so the
+        device->host transfer is uint8 (4x smaller through the tunnel).
+        """
         img = vae.apply({"params": params}, latents / scale, method=vae.decode)
-        return jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+        img01 = jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+        return (img01 * 255.0 + 0.5).astype(jnp.uint8)
 
     return partial(vae_decode, mod.vae_params)
+
+
+def make_prepare_inputs(mod: PipelineModules, control_res: int):
+    """uint8 source image -> (canny control image, normalized VAE input).
+
+    One jitted program per edit for all pixel preprocessing: the host sends
+    3 MB of uint8 instead of 2x12 MB of fp32.
+    """
+    from fastedit_tpu.ops.canny import canny_jax
+
+    dtype = mod.unet.dtype
+
+    def prepare_one(img_u8: jax.Array, low: jax.Array, high: jax.Array):
+        f = img_u8.astype(jnp.float32)  # [H, W, 3] in [0, 255]
+        edges = canny_jax(f, low, high)  # [H, W] uint8 {0, 255}
+        control = jnp.stack([edges] * 3, axis=-1).astype(jnp.float32) / 255.0
+        if control_res != control.shape[0]:
+            control = jax.image.resize(
+                control, (control_res, control_res, 3), "nearest"
+            )
+        vae_in = (f / 127.5 - 1.0).astype(dtype)
+        return control.astype(dtype), vae_in
+
+    @jax.jit
+    def prepare(img_u8, low, high):
+        control, vae_in = prepare_one(img_u8, low, high)
+        return control[None], vae_in[None]
+
+    prepare_batch = jax.jit(jax.vmap(prepare_one, in_axes=(0, None, None)))
+    return prepare, prepare_batch
 
 
 def make_denoise(mod: PipelineModules):
