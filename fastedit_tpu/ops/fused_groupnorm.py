@@ -35,6 +35,14 @@ def _gn_kernel(x_ref, gamma_ref, beta_ref, o_ref, stats_ref, *,
     ht, w, c = x.shape
     cg = c // num_groups
 
+    # Group-membership matrix [C, G] (ones where channel c is in group g).
+    # Channel<->group reduction/broadcast go through tiny matmuls — Mosaic
+    # rejects 1-D -> (G, C/G) reshapes with unaligned lane dims.
+    member = (
+        jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 0) // cg
+        == jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 1)
+    ).astype(jnp.float32)
+
     @pl.when(jnp.logical_and(phase == 0, pl.program_id(2) == 0))
     def _init():
         stats_ref[:] = jnp.zeros_like(stats_ref)
@@ -42,24 +50,27 @@ def _gn_kernel(x_ref, gamma_ref, beta_ref, o_ref, stats_ref, *,
     @pl.when(phase == 0)
     def _accumulate():
         flat = x.reshape(ht * w, c)
-        csum = jnp.sum(flat, axis=0)  # [C]
-        csumsq = jnp.sum(flat * flat, axis=0)
-        gsum = jnp.sum(csum.reshape(num_groups, cg), axis=1)  # [G]
-        gsumsq = jnp.sum(csumsq.reshape(num_groups, cg), axis=1)
-        stats_ref[0, :num_groups] += gsum
-        stats_ref[1, :num_groups] += gsumsq
+        csum = jnp.sum(flat, axis=0, keepdims=True)  # [1, C]
+        csumsq = jnp.sum(flat * flat, axis=0, keepdims=True)
+        gsum = jnp.dot(csum, member, preferred_element_type=jnp.float32)
+        gsumsq = jnp.dot(csumsq, member, preferred_element_type=jnp.float32)
+        stats_ref[0:1, :num_groups] += gsum
+        stats_ref[1:2, :num_groups] += gsumsq
 
     @pl.when(phase == 1)
     def _normalize():
         n = jnp.float32(n_per_group)
-        mean_g = stats_ref[0, :num_groups] / n  # [G]
-        var_g = stats_ref[1, :num_groups] / n - mean_g * mean_g
+        mean_g = stats_ref[0:1, :num_groups] / n  # [1, G]
+        var_g = stats_ref[1:2, :num_groups] / n - mean_g * mean_g
         inv_g = jax.lax.rsqrt(var_g + eps)
-        mean_c = jnp.repeat(mean_g, cg)  # [C]
-        inv_c = jnp.repeat(inv_g, cg)
-        gamma = gamma_ref[0].astype(jnp.float32)
-        beta = beta_ref[0].astype(jnp.float32)
-        y = (x - mean_c) * (inv_c * gamma) + beta
+        # broadcast back to channels via member^T: [1, G] @ [G, C] -> [1, C]
+        mean_c = jnp.dot(mean_g, member.T, preferred_element_type=jnp.float32)
+        inv_c = jnp.dot(inv_g, member.T, preferred_element_type=jnp.float32)
+        gamma = gamma_ref[0:1].astype(jnp.float32)
+        beta = beta_ref[0:1].astype(jnp.float32)
+        scale = (inv_c * gamma)[0]  # [C]
+        shift = (beta - mean_c * inv_c * gamma)[0]
+        y = x * scale + shift
         if act == "silu":
             y = y * jax.nn.sigmoid(y)
         o_ref[0] = y.astype(o_ref.dtype)

@@ -37,6 +37,30 @@ from fastedit_tpu.sched.lcm import LCMSchedulerConfig, make_schedule
 from fastedit_tpu.text.tokenizer import CLIPTokenizer
 from fastedit_tpu.utils import checkpoint as ckpt_io
 from fastedit_tpu.utils.image import resize
+from fastedit_tpu.utils.logging import get_logger
+
+log = get_logger("FastEditor")
+
+
+def _normalize_dtype(dtype):
+    """Accept jnp/np dtypes, strings, and torch dtypes (reference callers
+    pass ``torch.float16``); fp16 maps to bf16 — the TPU-correct half
+    precision."""
+    try:
+        name = np.dtype(dtype).name
+    except TypeError:
+        name = str(dtype).replace("torch.", "")
+    mapping = {
+        "float16": jnp.bfloat16,  # TPU: bf16 fills the fp16 slot
+        "half": jnp.bfloat16,
+        "bfloat16": jnp.bfloat16,
+        "float32": jnp.float32,
+        "float": jnp.float32,
+        "float64": jnp.float32,
+    }
+    if name not in mapping:
+        raise ValueError(f"unsupported dtype {dtype!r}")
+    return mapping[name]
 
 
 class FastEditor:
@@ -87,18 +111,18 @@ class FastEditor:
             )
         self.model_name = model_name
         self.config = self.MODEL_CONFIGS[model_name]
-        self.dtype = jnp.float32 if use_full_precision else dtype
+        self.dtype = jnp.float32 if use_full_precision else _normalize_dtype(dtype)
         self.use_full_controlnet = use_full_controlnet
         self.resolution = self.config["resolution"]
-        self.device = device or jax.default_backend()
+        self.device = jax.default_backend() if device in (None, "cuda") else device
         if enable_cpu_offload:
-            print(
-                "[FastEditor] CPU offload requested but not needed: weights "
-                "are HBM-resident on TPU (by design; see SURVEY.md §2.2 E8)."
+            log.info(
+                "CPU offload requested but not needed: weights are "
+                "HBM-resident on TPU (by design; see SURVEY.md §2.2 E8)."
             )
 
-        print(f"[FastEditor] Initializing {model_name} ({self.config['description']})")
-        print(f"[FastEditor] Backend: {self.device}, dtype: {jnp.dtype(self.dtype).name}")
+        log.info("Initializing %s (%s)", model_name, self.config["description"])
+        log.info("Backend: %s, dtype: %s", self.device, jnp.dtype(self.dtype).name)
 
         if model_name == "tiny":
             self._init_tiny(init_seed)
@@ -110,7 +134,7 @@ class FastEditor:
         self.mesh = None  # set by enable_data_parallel()
         self._rebuild_stages()
         self._prompt_cache: dict = {}
-        print("[FastEditor] Initialization complete!")
+        log.info("Initialization complete")
 
     def _rebuild_stages(self):
         self._encode_prompt = stages.make_encode_prompt(self.modules)
@@ -140,7 +164,7 @@ class FastEditor:
         self._rebuild_stages()
         self._prompt_cache = {}
         n = self.mesh.devices.size
-        print(f"[FastEditor] Data parallelism enabled over {n} devices")
+        log.info("Data parallelism enabled over %d devices", n)
         return self.mesh
 
     # ------------------------------------------------------------------ init
