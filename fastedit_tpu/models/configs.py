@@ -70,12 +70,13 @@ class UNetConfig:
 # head count, 64-dim heads). ~2.57 B params.
 SDXL_UNET = UNetConfig()
 
-# SSD-1B (segmind/SSD-1B): SDXL topology with transformer depth pruned per
-# layer and the mid block attention removed; ~1.3 B params.  Field values are
-# re-derived from the checkpoint config at conversion time.
+# SSD-1B (segmind/SSD-1B): SDXL topology with transformer depth pruned
+# (4 instead of 10 in the deep blocks/mid).  This default yields 1.316 B
+# UNet params, matching the published ~1.3 B; exact field values are
+# re-derived from the checkpoint's config.json at conversion time.
 SSD1B_UNET = UNetConfig(
     down_transformer_layers=((0, 0), (2, 2), (4, 4)),
-    mid_transformer_layers=None,
+    mid_transformer_layers=4,
     up_transformer_layers=((4, 4, 4), (2, 2, 2), (0, 0, 0)),
 )
 
