@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Converted checkpoint dir (default checkpoints/<model>)")
     p.add_argument("--compute_metrics", action="store_true")
     p.add_argument("--show_plot", action="store_true")
+    p.add_argument("--profile", type=str, default=None, metavar="LOGDIR",
+                   help="Capture a jax.profiler trace of the edit to LOGDIR")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="Enable jax_debug_nans (numeric sanitizer)")
     return p
 
 
@@ -90,20 +94,38 @@ def main(argv=None):
         f"      Steps: {args.steps}, Guidance: {args.guidance}, "
         f"Control Scale: {args.control_scale}, Strength: {args.strength}"
     )
-    t0 = time.time()
-    edited_img = editor.edit(
-        image=source_img,
-        prompt=args.prompt,
-        negative_prompt=args.negative_prompt,
-        strength=args.strength,
-        num_inference_steps=args.steps,
-        guidance_scale=args.guidance,
-        controlnet_conditioning_scale=args.control_scale,
-        canny_low_threshold=args.canny_low,
-        canny_high_threshold=args.canny_high,
-        seed=args.seed,
-    )
-    elapsed = time.time() - t0
+    if args.debug_nans:
+        from fastedit_tpu.utils.profiling import enable_nan_checks
+
+        enable_nan_checks(True)
+
+    def run_edit():
+        return editor.edit(
+            image=source_img,
+            prompt=args.prompt,
+            negative_prompt=args.negative_prompt,
+            strength=args.strength,
+            num_inference_steps=args.steps,
+            guidance_scale=args.guidance,
+            controlnet_conditioning_scale=args.control_scale,
+            canny_low_threshold=args.canny_low,
+            canny_high_threshold=args.canny_high,
+            seed=args.seed,
+        )
+
+    if args.profile:
+        from fastedit_tpu.utils.profiling import trace
+
+        run_edit()  # compile outside the trace
+        t0 = time.time()
+        with trace(args.profile):
+            edited_img = run_edit()
+        elapsed = time.time() - t0
+        print(f"      Profiler trace written to {args.profile}")
+    else:
+        t0 = time.time()
+        edited_img = run_edit()
+        elapsed = time.time() - t0
     print(f"      Editing completed in {elapsed:.2f} seconds (incl. compile on first run)")
 
     timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
