@@ -87,6 +87,31 @@ def bench_groupnorm():
         )
 
 
+def bench_conv():
+    from fastedit_tpu.ops.conv3x3 import conv3x3
+
+    key = jax.random.PRNGKey(0)
+
+    def xla_conv(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.bfloat16,
+        )
+
+    print("conv3x3 (bf16):")
+    for hw, c in [(1024, 128), (512, 256), (256, 512), (128, 1280)]:
+        x = jax.random.normal(key, (1, hw, hw, c), jnp.bfloat16)
+        w = jax.random.normal(key, (3, 3, c, c), jnp.bfloat16) * 0.02
+        fl = 2 * hw * hw * c * c * 9
+        tp = _time(lambda x: conv3x3(x, w), x)
+        tx = _time(lambda x: xla_conv(x, w), x)
+        print(
+            f"  {hw}^2 c={c}: pallas {tp*1e3:7.3f} ms ({fl/tp/1e12:5.1f} TF/s)"
+            f" | xla {tx*1e3:7.3f} ms ({fl/tx/1e12:5.1f} TF/s)"
+            f" | speedup {tx/tp:4.2f}x"
+        )
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     print("backend:", jax.default_backend())
@@ -94,3 +119,5 @@ if __name__ == "__main__":
         bench_attention()
     if which in ("groupnorm", "all"):
         bench_groupnorm()
+    if which in ("conv", "all"):
+        bench_conv()

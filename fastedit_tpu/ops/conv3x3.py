@@ -1,0 +1,142 @@
+"""Pallas 3x3 SAME-padding conv (NHWC, stride 1) — shift-and-matmul kernel.
+
+The UNet/VAE are conv-bound: XLA's conv lowering reaches ~60 TF/s on v5e at
+the decoder shapes (probe in IMPLEMENTATION.md).  This kernel reformulates
+the 3x3 conv as 9 accumulated [rows*W, Cin] x [Cin, Co] matmuls over a
+halo'd row tile that is DMA'd from HBM once per (row-tile, Cout-tile):
+
+  grid (B, H/Ht, Cout/Co);  scratch: x-tile [Ht+2, W+2, Cin] + f32 acc.
+  For each tap (di, dj): slice di rows (outer dim, free), shift dj columns
+  via pltpu.roll (sublane-aligned), matmul-accumulate on the MXU.
+
+The input is padded by 1 in H/W on the XLA side (one cheap fused pad), so
+the kernel has no boundary branches.  Dispatched behind ops.flags like the
+other kernels; ``supports()`` gates shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fastedit_tpu.ops import flags
+
+
+def _conv_kernel(xp_hbm, w_ref, o_ref, xs, acc, sem, *, ht, width, act):
+    b = pl.program_id(0)
+    ih = pl.program_id(1)
+
+    copy = pltpu.make_async_copy(
+        xp_hbm.at[b, pl.ds(ih * ht, ht + 2)], xs, sem
+    )
+    copy.start()
+    copy.wait()
+
+    cin = xs.shape[-1]
+    co = o_ref.shape[-1]
+    acc[:] = jnp.zeros_like(acc)
+    for di in range(3):
+        rows = xs[di : di + ht]  # [Ht, W+2, Cin] — outer-dim slice, free
+        for dj in range(3):
+            # static column slice at offset dj (Mosaic handles the
+            # sub-sublane shift; bf16 rotate is unsupported, slices work).
+            patch = rows[:, dj : dj + width, :].reshape(ht * width, cin)
+            acc[:] += jax.lax.dot_general(
+                patch,
+                w_ref[di, dj],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    out = acc[:]
+    if act == "silu":
+        out = out * jax.nn.sigmoid(out)
+    o_ref[0] = out.reshape(ht, width, co).astype(o_ref.dtype)
+
+
+def _pick_tiles(h: int, w: int, cin: int, cout: int, itemsize: int):
+    """(Ht, Co) fitting a ~10 MB VMEM budget."""
+    for co in (256, 128):
+        if cout % co:
+            continue
+        for ht in (32, 16, 8, 4):
+            if h % ht:
+                continue
+            xs_bytes = (ht + 2) * (w + 2) * cin * itemsize
+            acc_bytes = ht * w * co * 4
+            out_bytes = ht * w * co * itemsize
+            w_bytes = 9 * cin * co * itemsize
+            if xs_bytes + acc_bytes + out_bytes + w_bytes <= 10 * 1024 * 1024:
+                return ht, co
+    return None
+
+
+def supports(x_shape, w_shape) -> bool:
+    if len(x_shape) != 4 or len(w_shape) != 4:
+        return False
+    _, h, w, cin = x_shape
+    kh, kw, wcin, cout = w_shape
+    if (kh, kw) != (3, 3) or wcin != cin:
+        return False
+    if cin % 128 or cout % 128:
+        return False
+    return _pick_tiles(h, w, cin, cout, 2) is not None
+
+
+@functools.partial(jax.jit, static_argnames=("act", "ht", "co"))
+def _conv3x3_call(x, w, bias, act, ht, co):
+    b, h, width, cin = x.shape
+    cout = w.shape[-1]
+    # Pad H by 1 each side (SAME); pad W so the padded width is a multiple
+    # of 8 (DMA sublane tiling): left 1, right >= 1.
+    wp = -(-(width + 2) // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - width - 1), (0, 0)))
+    grid = (b, h // ht, cout // co)
+    out = pl.pallas_call(
+        functools.partial(_conv_kernel, ht=ht, width=width, act=act),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # padded input, manual DMA
+            pl.BlockSpec(
+                (3, 3, cin, co), lambda b, ih, ico: (0, 0, 0, ico),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ht, width, co), lambda b, ih, ico: (b, ih, 0, ico),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, width, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((ht + 2, wp, cin), x.dtype),
+            pltpu.VMEM((ht * width, co), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=flags.FLAGS.pallas_interpret,
+    )(xp, w)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def conv3x3(
+    x: jax.Array,
+    w: jax.Array,
+    bias: Optional[jax.Array] = None,
+    act: Optional[str] = None,
+) -> jax.Array:
+    """3x3 SAME conv, NHWC x [B,H,W,Cin], w [3,3,Cin,Cout] (+fused SiLU).
+
+    Note: when ``act`` is set, bias must be None (activation applies before
+    bias would — pass bias folded into the activation path via caller).
+    """
+    assert supports(x.shape, w.shape), "check supports() before dispatch"
+    if act is not None:
+        assert bias is None, "fused act applies pre-bias; fold bias first"
+    b, h, width, cin = x.shape
+    ht, co = _pick_tiles(h, width, cin, w.shape[-1], x.dtype.itemsize)
+    return _conv3x3_call(x, w, bias, act, ht, co)

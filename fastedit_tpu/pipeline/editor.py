@@ -103,7 +103,11 @@ class FastEditor:
         use_full_controlnet: bool = False,
         checkpoint_dir: Optional[str] = None,
         init_seed: int = 0,
+        random_weights: bool = False,
     ):
+        """``random_weights=True`` builds the full architecture with zero
+        weights instead of loading a checkpoint — for benchmarking and
+        shape/sharding work (edit latency is weight-independent)."""
         if model_name not in self.MODEL_CONFIGS:
             raise ValueError(
                 f"Unknown model: {model_name}. Choose from "
@@ -126,6 +130,8 @@ class FastEditor:
 
         if model_name == "tiny":
             self._init_tiny(init_seed)
+        elif random_weights:
+            self._init_random_full()
         else:
             ckpt = checkpoint_dir or os.path.join("checkpoints", model_name)
             self._load_checkpoint(ckpt)
@@ -216,6 +222,67 @@ class FastEditor:
         # ControlNet cond image resolution may differ from pixel resolution
         # for tiny configs (fewer cond-embedding stages).
         self._control_res = lat_hw * cn_ds
+
+    def _init_random_full(self):
+        """Full-size architecture with zero weights (bench/shape work).
+
+        Zero (not random) init: edit latency is weight-independent, and
+        eval_shape avoids compiling the huge random-init programs.
+        """
+        dt = self.dtype
+        unet_cfg = self.config["unet_config"]
+        cn_cfg = (
+            C.SDXL_CONTROLNET_FULL
+            if self.use_full_controlnet
+            else C.SDXL_CONTROLNET_SMALL
+        )
+        unet = UNet2DConditionModel(unet_cfg, dtype=dt, param_dtype=dt)
+        cn = ControlNetModel(cn_cfg, dtype=dt, param_dtype=dt)
+        vae = AutoencoderKL(C.SDXL_VAE, dtype=dt, param_dtype=dt)
+        te1 = CLIPTextModel(C.SDXL_TEXT_ENCODER, dtype=dt, param_dtype=dt)
+        te2 = CLIPTextModel(C.SDXL_TEXT_ENCODER_2, dtype=dt, param_dtype=dt)
+
+        r = self.resolution
+        lat_hw = r // C.SDXL_VAE.downscale_factor
+        key = jax.random.PRNGKey(0)
+        lat = jnp.zeros((1, lat_hw, lat_hw, 4), dt)
+        t = jnp.zeros((1,))
+        ctx = jnp.zeros((1, 77, unet_cfg.cross_attention_dim), dt)
+        pooled = jnp.zeros((1, 1280), dt)
+        tids = jnp.zeros((1, 6))
+        cond = jnp.zeros((1, r, r, 3), dt)
+
+        def zeros_for(init_fn, *args):
+            shapes = jax.eval_shape(init_fn, *args)["params"]
+            return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+        self.modules = stages.PipelineModules(
+            unet=unet,
+            controlnet=cn,
+            vae=vae,
+            text_encoder=te1,
+            text_encoder_2=te2,
+            unet_params=zeros_for(unet.init, key, lat, t, ctx, pooled, tids),
+            controlnet_params=zeros_for(
+                cn.init, key, lat, t, ctx, pooled, tids, cond
+            ),
+            vae_params=zeros_for(vae.init, key, jnp.zeros((1, r, r, 3), dt), key),
+            text_encoder_params=zeros_for(
+                te1.init, key, jnp.zeros((1, 77), jnp.int32)
+            ),
+            text_encoder_2_params=zeros_for(
+                te2.init, key, jnp.zeros((1, 77), jnp.int32)
+            ),
+            vae_scaling_factor=C.SDXL_VAE.scaling_factor,
+        )
+        self.tokenizer = CLIPTokenizer.synthetic(
+            vocab_size=C.SDXL_TEXT_ENCODER.vocab_size
+        )
+        self.tokenizer_2 = CLIPTokenizer.synthetic(
+            vocab_size=C.SDXL_TEXT_ENCODER_2.vocab_size, pad_token_id=0
+        )
+        self._control_res = r
+        log.info("random-weights mode: zero-initialized full architecture")
 
     def _load_checkpoint(self, ckpt_dir: str):
         if not os.path.isdir(ckpt_dir):
