@@ -150,6 +150,7 @@ class FastEditor:
         self._prepare, self._prepare_batch = stages.make_prepare_inputs(
             self.modules, self._control_res
         )
+        self._edit_core = stages.make_edit_core(self.modules, self._control_res)
         self._canny = jax.jit(canny_jax)
 
     def enable_data_parallel(self, mesh=None):
@@ -370,24 +371,54 @@ class FastEditor:
         Same signature and defaults as reference src/pipeline.py:212-224
         (plus ``strength``, which the reference hardcodes at 0.80).
         """
+        out = self._run_edit_core(
+            [image],
+            [prompt],
+            negative_prompt,
+            strength,
+            num_inference_steps,
+            guidance_scale,
+            controlnet_conditioning_scale,
+            canny_low_threshold,
+            canny_high_threshold,
+            seed,
+            tile_noise=False,
+        )
+        return out[0]
+
+    def _run_edit_core(
+        self,
+        images,
+        prompts,
+        negative_prompt,
+        strength,
+        num_inference_steps,
+        guidance_scale,
+        controlnet_conditioning_scale,
+        canny_low_threshold,
+        canny_high_threshold,
+        seed,
+        tile_noise: bool,
+    ):
+        """Shared single/batch path: one uint8 upload, one device program
+        (prepare -> VAE encode -> denoise loop -> decode), one uint8
+        readback."""
+        b = len(images)
         r = self.resolution
-        input_image = resize(image.convert("RGB"), r)
-        # Single uint8 upload; Canny + normalization happen on device in one
-        # fused program (stages.make_prepare_inputs).
-        img_u8 = np.asarray(input_image, dtype=np.uint8)
-        control, vae_in = self._prepare(
-            jnp.asarray(img_u8),
-            jnp.float32(canny_low_threshold),
-            jnp.float32(canny_high_threshold),
+        img_u8 = np.stack(
+            [np.asarray(resize(im.convert("RGB"), r), dtype=np.uint8) for im in images]
         )
 
-        # Prompt embeddings (cached per prompt string for batch sweeps).
         do_cfg = guidance_scale > 1.0
-        ctx_c, pooled_c = self._encode_prompt_cached(prompt)
+        enc = [self._encode_prompt_cached(p) for p in prompts]
+        ctx_c = jnp.concatenate([e[0] for e in enc])
+        pooled_c = jnp.concatenate([e[1] for e in enc])
         if do_cfg:
-            ctx_u, pooled_u = self._encode_prompt_cached(negative_prompt)
-            context = jnp.concatenate([ctx_u, ctx_c])
-            pooled = jnp.concatenate([pooled_u, pooled_c])
+            ctx_u1, pooled_u1 = self._encode_prompt_cached(negative_prompt)
+            context = jnp.concatenate(
+                [jnp.tile(ctx_u1, (b, 1, 1)), ctx_c]
+            )
+            pooled = jnp.concatenate([jnp.tile(pooled_u1, (b, 1)), pooled_c])
         else:
             context, pooled = ctx_c, pooled_c
         time_ids = stages.make_sdxl_time_ids(context.shape[0], r)
@@ -395,26 +426,36 @@ class FastEditor:
         if seed is None:
             seed = int.from_bytes(os.urandom(4), "little")
         key = jax.random.PRNGKey(seed)
-        key, k_enc, k_loop = jax.random.split(key, 3)
 
-        latents = self._vae_encode(vae_in, k_enc)
         schedule = make_schedule(
             self.scheduler_config, num_inference_steps, strength=strength
         )
-        latents = self._denoise(
-            latents,
+
+        inputs = jnp.asarray(img_u8)
+        if self.mesh is not None:
+            from fastedit_tpu.parallel import mesh as mesh_lib
+
+            inputs, context, pooled, time_ids = (
+                mesh_lib.shard_batch(x, self.mesh)
+                for x in (inputs, context, pooled, time_ids)
+            )
+
+        out = self._edit_core(
+            inputs,
+            jnp.float32(canny_low_threshold),
+            jnp.float32(canny_high_threshold),
             context,
             pooled,
             time_ids,
-            control,
             schedule,
             jnp.float32(guidance_scale),
             jnp.float32(controlnet_conditioning_scale),
-            k_loop,
+            key,
             do_cfg=do_cfg,
+            tile_noise=tile_noise,
         )
-        img = self._vae_decode(latents)  # uint8 on device
-        return Image.fromarray(np.asarray(img[0]))
+        out = np.asarray(out)
+        return [Image.fromarray(out[i]) for i in range(b)]
 
     def edit_batch(
         self,
@@ -438,63 +479,19 @@ class FastEditor:
         generators.
         """
         assert len(images) == len(prompts) and images
-        b = len(images)
-        r = self.resolution
-        img_u8 = np.stack(
-            [np.asarray(resize(im.convert("RGB"), r), dtype=np.uint8) for im in images]
+        return self._run_edit_core(
+            images,
+            prompts,
+            negative_prompt,
+            strength,
+            num_inference_steps,
+            guidance_scale,
+            controlnet_conditioning_scale,
+            canny_low_threshold,
+            canny_high_threshold,
+            seed,
+            tile_noise=seed is not None,
         )
-        control, vae_in = self._prepare_batch(
-            jnp.asarray(img_u8),
-            jnp.float32(canny_low_threshold),
-            jnp.float32(canny_high_threshold),
-        )
-
-        do_cfg = guidance_scale > 1.0
-        enc = [self._encode_prompt_cached(p) for p in prompts]
-        ctx_c = jnp.concatenate([e[0] for e in enc])
-        pooled_c = jnp.concatenate([e[1] for e in enc])
-        if do_cfg:
-            ctx_u1, pooled_u1 = self._encode_prompt_cached(negative_prompt)
-            ctx_u = jnp.tile(ctx_u1, (b, 1, 1))
-            pooled_u = jnp.tile(pooled_u1, (b, 1))
-            context = jnp.concatenate([ctx_u, ctx_c])
-            pooled = jnp.concatenate([pooled_u, pooled_c])
-        else:
-            context, pooled = ctx_c, pooled_c
-        time_ids = stages.make_sdxl_time_ids(context.shape[0], r)
-
-        tile = seed is not None
-        if seed is None:
-            seed = int.from_bytes(os.urandom(4), "little")
-        key, k_enc, k_loop = jax.random.split(jax.random.PRNGKey(seed), 3)
-
-        if self.mesh is not None:
-            from fastedit_tpu.parallel import mesh as mesh_lib
-
-            vae_in, control, context, pooled, time_ids = (
-                mesh_lib.shard_batch(x, self.mesh)
-                for x in (vae_in, control, context, pooled, time_ids)
-            )
-
-        latents = self._vae_encode(vae_in, k_enc, tile_noise=tile)
-        schedule = make_schedule(
-            self.scheduler_config, num_inference_steps, strength=strength
-        )
-        latents = self._denoise(
-            latents,
-            context,
-            pooled,
-            time_ids,
-            control,
-            schedule,
-            jnp.float32(guidance_scale),
-            jnp.float32(controlnet_conditioning_scale),
-            k_loop,
-            do_cfg=do_cfg,
-            tile_noise=tile,
-        )
-        out = np.asarray(self._vae_decode(latents))  # uint8
-        return [Image.fromarray(out[i]) for i in range(b)]
 
     # ----------------------------------------------------------------- misc
 

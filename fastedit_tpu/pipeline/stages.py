@@ -1,13 +1,15 @@
-"""Jitted pipeline stages: prompt encode / VAE encode / denoise loop / decode.
+"""Jitted pipeline stages: prompt encode / prepare / denoise loop / decode.
 
 TPU-native replacement for the diffusers SDXL-ControlNet-Img2Img call the
-reference makes at src/pipeline.py:261-272 (SURVEY.md §2.2 E1).  Each stage
-is one XLA program; the whole 4-step ControlNet+UNet+CFG+LCM hot loop
-compiles into a single ``lax.fori_loop`` — no host round-trips between steps.
+reference makes at src/pipeline.py:261-272 (SURVEY.md §2.2 E1).  The whole
+pixel path (Canny prepare -> VAE encode -> 4-step ControlNet+UNet+CFG+LCM
+``lax.fori_loop`` -> VAE decode -> uint8) compiles into ONE XLA program
+(``make_edit_core``) — a single host dispatch per edit; prompt encoding is
+a separate program so embeddings cache per prompt string.  Individual
+stage programs are also exposed for tests/tools.
 
 Params are explicit arguments (never closure-captured) so the multi-GB
-weight trees stay XLA *parameters*, not embedded constants, and the same
-compiled program serves every edit.
+weight trees stay XLA *parameters*, not embedded constants.
 
 Semantics mirrored from the external pipeline (behavior spec, not a port):
   * dual-tower prompt encoding; context = concat(penultimate states),
@@ -16,7 +18,10 @@ Semantics mirrored from the external pipeline (behavior spec, not a port):
     guidance_scale > 1, skipped entirely at <= 1 (trace-time decision,
     matching diffusers' ``do_classifier_free_guidance``).
   * VAE encode -> x scaling_factor; strength-truncated initial noising;
-    per-step fresh noise injection (LCM); decode -> [0, 1] images.
+    per-step fresh noise injection (LCM); decode -> uint8 images.
+  * ``tile_noise``: every batch element gets the same noise stream — the
+    reference's fixed-seed batch loop creates a fresh same-seeded generator
+    per image (run_batch.py:208-219).
 """
 
 from __future__ import annotations
@@ -55,6 +60,17 @@ class PipelineModules:
     def denoiser_params(self):
         return {"unet": self.unet_params, "controlnet": self.controlnet_params}
 
+    @property
+    def pixel_params(self):
+        return {
+            "unet": self.unet_params,
+            "controlnet": self.controlnet_params,
+            "vae": self.vae_params,
+        }
+
+
+# --------------------------------------------------------------------- text
+
 
 def make_encode_prompt(mod: PipelineModules):
     te1, te2 = mod.text_encoder, mod.text_encoder_2
@@ -75,54 +91,11 @@ def make_encode_prompt(mod: PipelineModules):
     )
 
 
-def make_vae_encode(mod: PipelineModules):
-    vae, scale = mod.vae, mod.vae_scaling_factor
-
-    @partial(jax.jit, static_argnames=("tile_noise",))
-    def vae_encode(
-        params, image: jax.Array, key: jax.Array, tile_noise: bool = False
-    ) -> jax.Array:
-        """image [B, H, W, 3] in [-1, 1] -> scaled latents [B, h, w, 4]."""
-        mean, logvar = vae.apply(
-            {"params": params}, image, method=vae.encode_moments
-        )
-        if tile_noise:
-            # same posterior noise for every batch element (fixed-seed batch
-            # parity with the reference's per-image same-seed loop).
-            eps = jax.random.normal(key, (1, *mean.shape[1:]), dtype=jnp.float32)
-            logv = jnp.clip(logvar.astype(jnp.float32), -30.0, 20.0)
-            z = mean.astype(jnp.float32) + jnp.exp(0.5 * logv) * eps
-            z = z.astype(mean.dtype)
-        else:
-            z = AutoencoderKL.sample(mean, logvar, key)
-        return z * scale
-
-    return partial(vae_encode, mod.vae_params)
+# ----------------------------------------------------------- raw stage fns
 
 
-def make_vae_decode(mod: PipelineModules):
-    vae, scale = mod.vae, mod.vae_scaling_factor
-
-    @jax.jit
-    def vae_decode(params, latents: jax.Array) -> jax.Array:
-        """scaled latents -> uint8 image [B, H, W, 3].
-
-        Quantization happens on device (PIL round-half-up semantics) so the
-        device->host transfer is uint8 (4x smaller through the tunnel).
-        """
-        img = vae.apply({"params": params}, latents / scale, method=vae.decode)
-        img01 = jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
-        return (img01 * 255.0 + 0.5).astype(jnp.uint8)
-
-    return partial(vae_decode, mod.vae_params)
-
-
-def make_prepare_inputs(mod: PipelineModules, control_res: int):
-    """uint8 source image -> (canny control image, normalized VAE input).
-
-    One jitted program per edit for all pixel preprocessing: the host sends
-    3 MB of uint8 instead of 2x12 MB of fp32.
-    """
+def _prepare_one_fn(mod: PipelineModules, control_res: int):
+    """uint8 [H, W, 3] -> (canny control [r, r, 3], VAE input [H, W, 3])."""
     from fastedit_tpu.ops.canny import canny_jax
 
     dtype = mod.unet.dtype
@@ -138,26 +111,45 @@ def make_prepare_inputs(mod: PipelineModules, control_res: int):
         vae_in = (f / 127.5 - 1.0).astype(dtype)
         return control.astype(dtype), vae_in
 
-    @jax.jit
-    def prepare(img_u8, low, high):
-        control, vae_in = prepare_one(img_u8, low, high)
-        return control[None], vae_in[None]
-
-    prepare_batch = jax.jit(jax.vmap(prepare_one, in_axes=(0, None, None)))
-    return prepare, prepare_batch
+    return prepare_one
 
 
-def make_denoise(mod: PipelineModules):
-    """Build the fused ControlNet+UNet+CFG+LCM denoising program.
+def _vae_sample_fn(mod: PipelineModules):
+    vae, scale = mod.vae, mod.vae_scaling_factor
 
-    ``do_cfg`` is static: with CFG the models run on a 2B batch
-    [uncond; cond] exactly once per step.
-    """
+    def vae_sample(vae_params, image, key, tile_noise: bool):
+        """[-1, 1] image -> scaled posterior-sampled latents."""
+        mean, logvar = vae.apply(
+            {"params": vae_params}, image, method=vae.encode_moments
+        )
+        if tile_noise:
+            eps = jax.random.normal(key, (1, *mean.shape[1:]), dtype=jnp.float32)
+            logv = jnp.clip(logvar.astype(jnp.float32), -30.0, 20.0)
+            z = (mean.astype(jnp.float32) + jnp.exp(0.5 * logv) * eps).astype(
+                mean.dtype
+            )
+        else:
+            z = AutoencoderKL.sample(mean, logvar, key)
+        return z * scale
+
+    return vae_sample
+
+
+def _vae_decode_fn(mod: PipelineModules):
+    vae, scale = mod.vae, mod.vae_scaling_factor
+
+    def vae_decode(vae_params, latents):
+        """scaled latents -> uint8 image (PIL round-half-up, on device)."""
+        img = vae.apply({"params": vae_params}, latents / scale, method=vae.decode)
+        img01 = jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+        return (img01 * 255.0 + 0.5).astype(jnp.uint8)
+
+    return vae_decode
+
+
+def _denoise_fn(mod: PipelineModules):
     unet, controlnet = mod.unet, mod.controlnet
 
-    @partial(
-        jax.jit, static_argnames=("do_cfg", "tile_noise"), donate_argnums=(1,)
-    )
     def denoise(
         params,
         latents: jax.Array,  # [B, h, w, 4] *clean* scaled latents
@@ -170,23 +162,20 @@ def make_denoise(mod: PipelineModules):
         controlnet_scale: jax.Array,
         key: jax.Array,
         do_cfg: bool,
-        tile_noise: bool = False,
+        tile_noise: bool,
     ) -> jax.Array:
         b = latents.shape[0]
         if do_cfg:
             assert context.shape[0] == 2 * b, "CFG expects [uncond; cond] context"
         cond_in = (
-            jnp.concatenate([control_image, control_image]) if do_cfg else control_image
+            jnp.concatenate([control_image, control_image])
+            if do_cfg
+            else control_image
         )
 
         def draw_noise(k):
-            # tile_noise: every image in the batch gets the SAME noise — what
-            # the reference's fixed-seed batch loop produces (a fresh
-            # same-seeded generator per image, run_batch.py:208-219).
             if tile_noise:
-                n = jax.random.normal(
-                    k, (1, *latents.shape[1:]), dtype=jnp.float32
-                )
+                n = jax.random.normal(k, (1, *latents.shape[1:]), dtype=jnp.float32)
                 return jnp.broadcast_to(n, latents.shape)
             return jax.random.normal(k, latents.shape, dtype=jnp.float32)
 
@@ -229,7 +218,101 @@ def make_denoise(mod: PipelineModules):
         lat, _ = jax.lax.fori_loop(0, schedule.num_steps, body, (lat, key))
         return lat
 
-    return partial(denoise, mod.denoiser_params)
+    return denoise
+
+
+# ------------------------------------------------------------ jitted stages
+
+
+def make_prepare_inputs(mod: PipelineModules, control_res: int):
+    prepare_one = _prepare_one_fn(mod, control_res)
+
+    @jax.jit
+    def prepare(img_u8, low, high):
+        control, vae_in = prepare_one(img_u8, low, high)
+        return control[None], vae_in[None]
+
+    prepare_batch = jax.jit(jax.vmap(prepare_one, in_axes=(0, None, None)))
+    return prepare, prepare_batch
+
+
+def make_vae_encode(mod: PipelineModules):
+    vae_sample = _vae_sample_fn(mod)
+
+    @partial(jax.jit, static_argnames=("tile_noise",))
+    def vae_encode(params, image, key, tile_noise: bool = False):
+        return vae_sample(params, image, key, tile_noise)
+
+    return partial(vae_encode, mod.vae_params)
+
+
+def make_vae_decode(mod: PipelineModules):
+    vae_decode = _vae_decode_fn(mod)
+
+    @jax.jit
+    def decode(params, latents):
+        return vae_decode(params, latents)
+
+    return partial(decode, mod.vae_params)
+
+
+def make_denoise(mod: PipelineModules):
+    denoise = _denoise_fn(mod)
+
+    @partial(
+        jax.jit, static_argnames=("do_cfg", "tile_noise"), donate_argnums=(1,)
+    )
+    def denoise_jit(params, *args, do_cfg, tile_noise=False):
+        return denoise(params, *args, do_cfg=do_cfg, tile_noise=tile_noise)
+
+    return partial(denoise_jit, mod.denoiser_params)
+
+
+def make_edit_core(mod: PipelineModules, control_res: int):
+    """The whole pixel path as ONE device program (single dispatch/edit)."""
+    prepare_one = _prepare_one_fn(mod, control_res)
+    vae_sample = _vae_sample_fn(mod)
+    vae_decode = _vae_decode_fn(mod)
+    denoise = _denoise_fn(mod)
+
+    @partial(jax.jit, static_argnames=("do_cfg", "tile_noise"))
+    def edit_core(
+        params,
+        img_u8: jax.Array,  # [B, H, W, 3] uint8
+        canny_low: jax.Array,
+        canny_high: jax.Array,
+        context: jax.Array,
+        pooled: jax.Array,
+        time_ids: jax.Array,
+        schedule: LCMSchedule,
+        guidance_scale: jax.Array,
+        controlnet_scale: jax.Array,
+        key: jax.Array,
+        do_cfg: bool,
+        tile_noise: bool = False,
+    ) -> jax.Array:
+        control, vae_in = jax.vmap(prepare_one, in_axes=(0, None, None))(
+            img_u8, canny_low, canny_high
+        )
+        key, k_enc = jax.random.split(key)
+        latents = vae_sample(params["vae"], vae_in, k_enc, tile_noise)
+        latents = denoise(
+            params,
+            latents,
+            context,
+            pooled,
+            time_ids,
+            control,
+            schedule,
+            guidance_scale,
+            controlnet_scale,
+            key,
+            do_cfg=do_cfg,
+            tile_noise=tile_noise,
+        )
+        return vae_decode(params["vae"], latents)
+
+    return partial(edit_core, mod.pixel_params)
 
 
 def make_sdxl_time_ids(batch: int, size: int, dtype=jnp.float32) -> jax.Array:
