@@ -13,7 +13,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _time(fn, *args, inner=10, outer=5):

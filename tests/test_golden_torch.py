@@ -119,6 +119,50 @@ def test_strided_conv_pad1_matches_torch():
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=1e-4, atol=1e-5)
 
 
+def test_clip_vision_tower_matches_transformers():
+    """CLIPScore's vision backbone vs transformers, random weights mapped
+    through the converter (validates patch embed, CLS/pos, pre/post LN,
+    projection)."""
+    from transformers import CLIPVisionConfig as HFVC
+    from transformers import CLIPVisionModelWithProjection as HFVM
+
+    from fastedit_tpu.models.clip import CLIPVisionModel
+    from fastedit_tpu.models.configs import CLIPVisionConfig
+
+    hf_cfg = HFVC(
+        image_size=32,
+        patch_size=8,
+        hidden_size=32,
+        num_hidden_layers=3,
+        num_attention_heads=2,
+        intermediate_size=64,
+        projection_dim=16,
+        hidden_act="quick_gelu",
+    )
+    torch.manual_seed(0)
+    hf = HFVM(hf_cfg).eval()
+    cfg = CLIPVisionConfig(
+        image_size=32,
+        patch_size=8,
+        hidden_size=32,
+        num_layers=3,
+        num_heads=2,
+        intermediate_size=64,
+        projection_dim=16,
+    )
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    sd.pop("vision_model.embeddings.position_ids", None)
+    params = hf_mapping.convert_clip_vision(sd, cfg)
+
+    pixels = RNG.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    ours = CLIPVisionModel(cfg).apply({"params": params}, jnp.asarray(pixels))
+    with torch.no_grad():
+        theirs = hf(torch.from_numpy(pixels).permute(0, 3, 1, 2)).image_embeds
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
 @pytest.mark.parametrize("act,proj", [("quick_gelu", None), ("gelu", 32)])
 def test_clip_text_tower_matches_transformers(act, proj):
     from transformers import CLIPTextConfig as HFConfig

@@ -32,8 +32,20 @@ def test_device_memory_stats_keys():
     }
 
 
-def test_logger_singleton_and_tag(capsys):
+def test_logger_singleton_and_tag():
+    import io
+    import logging
+
     log = get_logger("TestComp")
-    log.info("hello %d", 42)
-    captured = capsys.readouterr()
-    assert "fastedit.TestComp" in captured.out and "hello 42" in captured.out
+    # attach a capture handler on the shared root (the stdout handler may
+    # hold a pre-capsys stream, so capture explicitly).
+    buf = io.StringIO()
+    handler = logging.StreamHandler(buf)
+    handler.setFormatter(logging.Formatter("[%(name)s] %(message)s"))
+    logging.getLogger("fastedit").addHandler(handler)
+    try:
+        log.info("hello %d", 42)
+    finally:
+        logging.getLogger("fastedit").removeHandler(handler)
+    out = buf.getvalue()
+    assert "[fastedit.TestComp]" in out and "hello 42" in out
