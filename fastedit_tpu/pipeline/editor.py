@@ -414,11 +414,17 @@ class FastEditor:
         ctx_c = jnp.concatenate([e[0] for e in enc])
         pooled_c = jnp.concatenate([e[1] for e in enc])
         if do_cfg:
+            # pair-interleaved CFG layout (u_i, c_i adjacent) — device-local
+            # guidance combine under batch sharding (see stages._denoise_fn).
             ctx_u1, pooled_u1 = self._encode_prompt_cached(negative_prompt)
-            context = jnp.concatenate(
-                [jnp.tile(ctx_u1, (b, 1, 1)), ctx_c]
+            ctx_u = jnp.tile(ctx_u1, (b, 1, 1))
+            pooled_u = jnp.tile(pooled_u1, (b, 1))
+            context = jnp.stack([ctx_u, ctx_c], axis=1).reshape(
+                2 * b, *ctx_c.shape[1:]
             )
-            pooled = jnp.concatenate([jnp.tile(pooled_u1, (b, 1)), pooled_c])
+            pooled = jnp.stack([pooled_u, pooled_c], axis=1).reshape(
+                2 * b, *pooled_c.shape[1:]
+            )
         else:
             context, pooled = ctx_c, pooled_c
         time_ids = stages.make_sdxl_time_ids(context.shape[0], r)

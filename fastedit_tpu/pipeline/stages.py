@@ -153,7 +153,7 @@ def _denoise_fn(mod: PipelineModules):
     def denoise(
         params,
         latents: jax.Array,  # [B, h, w, 4] *clean* scaled latents
-        context: jax.Array,  # [B or 2B, 77, D] (uncond first if CFG)
+        context: jax.Array,  # [B, 77, D]; CFG: [2B] PAIR-INTERLEAVED (u0,c0,u1,c1,...)
         pooled: jax.Array,  # [B or 2B, P]
         time_ids: jax.Array,  # [B or 2B, 6]
         control_image: jax.Array,  # [B, H, W, 3] in [0, 1]
@@ -166,11 +166,16 @@ def _denoise_fn(mod: PipelineModules):
     ) -> jax.Array:
         b = latents.shape[0]
         if do_cfg:
-            assert context.shape[0] == 2 * b, "CFG expects [uncond; cond] context"
+            assert context.shape[0] == 2 * b, (
+                "CFG expects pair-interleaved [2B] context"
+            )
+        # CFG batch layout is PAIR-INTERLEAVED, not [all-uncond; all-cond]:
+        # with the batch dim sharded over the data mesh axis, each image's
+        # (uncond, cond) rows stay on one device, so the guidance combine is
+        # communication-free (a concat/split layout would shuffle the full
+        # activations over ICI every step).
         cond_in = (
-            jnp.concatenate([control_image, control_image])
-            if do_cfg
-            else control_image
+            jnp.repeat(control_image, 2, axis=0) if do_cfg else control_image
         )
 
         def draw_noise(k):
@@ -186,9 +191,8 @@ def _denoise_fn(mod: PipelineModules):
         def body(i, carry):
             lat, key = carry
             key, k_step = jax.random.split(key)
-            t = jnp.broadcast_to(schedule.timesteps[i], (lat.shape[0],))
-            lat_in = jnp.concatenate([lat, lat]) if do_cfg else lat
-            t_in = jnp.concatenate([t, t]) if do_cfg else t
+            lat_in = jnp.repeat(lat, 2, axis=0) if do_cfg else lat
+            t_in = jnp.broadcast_to(schedule.timesteps[i], (lat_in.shape[0],))
             down_res, mid_res = controlnet.apply(
                 {"params": params["controlnet"]},
                 lat_in,
@@ -210,7 +214,8 @@ def _denoise_fn(mod: PipelineModules):
                 mid_block_additional_residual=mid_res,
             )
             if do_cfg:
-                eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                e = eps.reshape(lat.shape[0], 2, *eps.shape[1:])
+                eps_u, eps_c = e[:, 0], e[:, 1]
                 eps = eps_u + guidance_scale.astype(eps.dtype) * (eps_c - eps_u)
             lat = lcm_step(schedule, i, lat, eps, draw_noise(k_step))
             return lat, key
