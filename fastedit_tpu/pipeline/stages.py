@@ -138,11 +138,25 @@ def _vae_sample_fn(mod: PipelineModules):
 def _vae_decode_fn(mod: PipelineModules):
     vae, scale = mod.vae, mod.vae_scaling_factor
 
-    def vae_decode(vae_params, latents):
-        """scaled latents -> uint8 image (PIL round-half-up, on device)."""
+    def decode_one(vae_params, latents):
         img = vae.apply({"params": vae_params}, latents / scale, method=vae.decode)
         img01 = jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
         return (img01 * 255.0 + 0.5).astype(jnp.uint8)
+
+    def vae_decode(vae_params, latents):
+        """scaled latents -> uint8 image (PIL round-half-up, on device).
+
+        Batched decode is memory-bound, not MXU-bound: at 1024² the decoder's
+        activations are ~1 GB/image, so batch >2 OOMs a 16 GB chip and batch
+        2 already degrades scheduling.  lax.map decodes per image — peak
+        memory stays single-image while the program remains one dispatch.
+        """
+        if latents.shape[0] == 1:
+            return decode_one(vae_params, latents)
+        out = jax.lax.map(
+            lambda z: decode_one(vae_params, z[None])[0], latents
+        )
+        return out
 
     return vae_decode
 
