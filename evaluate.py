@@ -29,6 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default checkpoints/metrics)")
     p.add_argument("--tiny_metrics", action="store_true",
                    help="Random tiny metric backbones (smoke testing)")
+    p.add_argument("--batch_size", type=int, default=16,
+                   help="Images per metric batch (1 = reference-style "
+                        "strictly per-image evaluation)")
     return p
 
 
@@ -61,36 +64,56 @@ def main(argv=None):
         tiny=args.tiny_metrics,
     )
 
-    rows = []
+    # Collect the evaluable pairs first, then run metric batches.
+    work = []
     skipped = 0
-    for image_id, entry in tqdm(mapping.items(), desc="Evaluating"):
+    for image_id, entry in mapping.items():
         rel = entry["image_path"]
         source_path = os.path.join(args.source_dir, rel)
         output_path = os.path.join(args.outputs_dir, rel)
         if not (os.path.exists(output_path) and os.path.exists(source_path)):
             skipped += 1
             continue
+        work.append((image_id, entry, source_path, output_path))
+
+    rows = []
+    bs = max(1, args.batch_size)
+    pbar = tqdm(total=len(work), desc="Evaluating")
+    for start in range(0, len(work), bs):
+        chunk = work[start : start + bs]
         try:
-            source_img = Image.open(source_path).convert("RGB")
-            edited_img = Image.open(output_path).convert("RGB")
-            # Metrics convention: both at 512x512 LANCZOS (reference
-            # evaluate.py:127-130; the calculator re-applies this, harmless).
-            source_img = source_img.resize((512, 512), Image.LANCZOS)
-            edited_img = edited_img.resize((512, 512), Image.LANCZOS)
-            prompt = entry.get("editing_prompt", "")
-            m = calc.calculate_all_metrics(source_img, edited_img, prompt)
-            rows.append(
-                {
-                    "image_id": image_id,
-                    "image_path": rel,
-                    "editing_type_id": entry.get("editing_type_id", "unknown"),
-                    "editing_prompt": prompt,
-                    **m,
-                }
-            )
+            sources, editeds, prompts = [], [], []
+            for _, entry, sp, op in chunk:
+                # Metrics convention: both at 512x512 LANCZOS (reference
+                # evaluate.py:127-130).
+                sources.append(
+                    Image.open(sp).convert("RGB").resize((512, 512), Image.LANCZOS)
+                )
+                editeds.append(
+                    Image.open(op).convert("RGB").resize((512, 512), Image.LANCZOS)
+                )
+                prompts.append(entry.get("editing_prompt", ""))
+            if bs == 1:
+                metrics = [
+                    calc.calculate_all_metrics(sources[0], editeds[0], prompts[0])
+                ]
+            else:
+                metrics = calc.calculate_all_metrics_batch(sources, editeds, prompts)
+            for (image_id, entry, _, _), m in zip(chunk, metrics):
+                rows.append(
+                    {
+                        "image_id": image_id,
+                        "image_path": entry["image_path"],
+                        "editing_type_id": entry.get("editing_type_id", "unknown"),
+                        "editing_prompt": entry.get("editing_prompt", ""),
+                        **m,
+                    }
+                )
         except Exception as e:
-            print(f"\n      Error processing {image_id}: {e}")
-            skipped += 1
+            print(f"\n      Error processing batch at {start}: {e}")
+            skipped += len(chunk)
+        pbar.update(len(chunk))
+    pbar.close()
 
     print(f"\n      Processed: {len(rows)} images\n      Skipped:   {skipped} images")
     if not rows:

@@ -124,6 +124,14 @@ class MetricsCalculator:
         )
         self._jit_clip = jax.jit(self._clip_score_impl)
         self._jit_dino = jax.jit(self._dino_impl)
+        # per-image batched variants (evaluate.py --batch_size)
+        self._jit_ssim_b = jax.jit(
+            jax.vmap(lambda a, b: F.ssim(a[None], b[None]))
+        )
+        self._jit_psnr_b = jax.jit(
+            jax.vmap(lambda a, b: F.psnr(a[None], b[None]))
+        )
+        self._jit_mse_b = jax.jit(jax.vmap(lambda a, b: F.mse(a[None], b[None])))
         print("[MetricsCalculator] Initialization complete!")
 
     # ----------------------------------------------------------- conversion
@@ -157,7 +165,7 @@ class MetricsCalculator:
 
     def calculate_lpips(self, img1: Image.Image, img2: Image.Image) -> float:
         a, b = self._pair_512(img1, img2)
-        return float(self._jit_lpips(self._params["lpips"], a * 2 - 1, b * 2 - 1))
+        return float(self._jit_lpips(self._params["lpips"], a * 2 - 1, b * 2 - 1)[0])
 
     def _clip_score_impl(self, params, pixels, ids):
         img_emb = self.clip_vision.apply({"params": params["clip_vision"]}, pixels)
@@ -166,7 +174,7 @@ class MetricsCalculator:
         ).pooled_output
         img_emb = img_emb / jnp.linalg.norm(img_emb, axis=-1, keepdims=True)
         txt_emb = txt_emb / jnp.linalg.norm(txt_emb, axis=-1, keepdims=True)
-        return jnp.maximum(100.0 * jnp.sum(img_emb * txt_emb, axis=-1), 0.0).mean()
+        return jnp.maximum(100.0 * jnp.sum(img_emb * txt_emb, axis=-1), 0.0)  # [B]
 
     def calculate_clip_score(self, img: Image.Image, text: str) -> float:
         size = self.clip_vision_cfg.image_size
@@ -182,7 +190,7 @@ class MetricsCalculator:
                 },
                 jnp.asarray(arr, dtype=jnp.float32)[None],
                 ids,
-            )
+            )[0]
         )
 
     def _dino_impl(self, params, src, edit):
@@ -208,7 +216,7 @@ class MetricsCalculator:
             return jnp.asarray(arr, dtype=jnp.float32)[None]
 
         return float(
-            self._jit_dino(self._params["dino"], prep(source_img), prep(edited_img))
+            self._jit_dino(self._params["dino"], prep(source_img), prep(edited_img))[0]
         )
 
     def calculate_all_metrics(
@@ -223,6 +231,103 @@ class MetricsCalculator:
             "mse": self.calculate_mse(source_img, edited_img),
             "dino_distance": self.calculate_dino_distance(source_img, edited_img),
         }
+
+    def calculate_all_metrics_batch(
+        self, source_imgs, edited_imgs, prompts
+    ) -> list:
+        """Batched six-metric computation: same per-image values as
+        calculate_all_metrics but one device dispatch per metric for the
+        whole batch (the reference evaluates strictly per image; batching
+        amortizes dispatch + pipeline overhead ~10x on TPU)."""
+        n = len(source_imgs)
+        assert len(edited_imgs) == n and len(prompts) == n
+
+        def stack_512(images):
+            return jnp.asarray(
+                np.stack(
+                    [
+                        np.asarray(
+                            img.convert("RGB").resize(
+                                self.metric_size, Image.LANCZOS
+                            )
+                            if img.size != self.metric_size
+                            else img.convert("RGB"),
+                            dtype=np.float32,
+                        )
+                        for img in images
+                    ]
+                )
+                / 255.0
+            )
+
+        src = stack_512(source_imgs)
+        edt = stack_512(edited_imgs)
+        ssim = np.asarray(self._jit_ssim_b(src, edt))
+        psnr = np.asarray(self._jit_psnr_b(src, edt))
+        mse = np.asarray(self._jit_mse_b(src, edt))
+        lpips = np.asarray(
+            self._jit_lpips(self._params["lpips"], src * 2 - 1, edt * 2 - 1)
+        )
+
+        size = self.clip_vision_cfg.image_size
+        clip_pixels = np.stack(
+            [
+                (
+                    np.asarray(
+                        img.convert("RGB").resize((size, size), Image.BICUBIC),
+                        dtype=np.float32,
+                    )
+                    / 255.0
+                    - np.asarray(CLIP_IMAGE_MEAN)
+                )
+                / np.asarray(CLIP_IMAGE_STD)
+                for img in edited_imgs
+            ]
+        ).astype(np.float32)
+        ids = jnp.asarray(self.clip_tokenizer.batch_encode(list(prompts)))
+        clip = np.asarray(
+            self._jit_clip(
+                {
+                    "clip_vision": self._params["clip_vision"],
+                    "clip_text": self._params["clip_text"],
+                },
+                jnp.asarray(clip_pixels),
+                ids,
+            )
+        )
+
+        dsize = self.dino_cfg.image_size
+
+        def stack_dino(images):
+            arr = np.stack(
+                [
+                    np.asarray(
+                        img.convert("RGB").resize((dsize, dsize), Image.BILINEAR),
+                        dtype=np.float32,
+                    )
+                    / 255.0
+                    for img in images
+                ]
+            )
+            arr = (arr - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+            return jnp.asarray(arr, dtype=jnp.float32)
+
+        dino = np.asarray(
+            self._jit_dino(
+                self._params["dino"], stack_dino(source_imgs), stack_dino(edited_imgs)
+            )
+        )
+        return [
+            {
+                "ssim": float(ssim[i]),
+                "lpips": float(lpips[i]),
+                "clip_score": float(clip[i]),
+                "psnr": float(psnr[i]),
+                "mse": float(mse[i]),
+                "dino_distance": float(dino[i]),
+            }
+            for i in range(n)
+        ]
 
     def clear_memory(self):
         """API parity no-op (no CUDA cache to empty on TPU)."""

@@ -146,7 +146,9 @@ def keys_self_similarity(keys: jax.Array) -> jax.Array:
 
 
 def dino_distance(keys_src: jax.Array, keys_edit: jax.Array) -> jax.Array:
-    """MSE between self-similarity maps (reference src/metrics.py:138-147)."""
+    """Per-image MSE between self-similarity maps [B]
+    (reference src/metrics.py:138-147)."""
     return jnp.mean(
-        jnp.square(keys_self_similarity(keys_edit) - keys_self_similarity(keys_src))
+        jnp.square(keys_self_similarity(keys_edit) - keys_self_similarity(keys_src)),
+        axis=(1, 2),
     )

@@ -87,7 +87,7 @@ class SqueezeNetFeatures(nn.Module):
 
 
 class LPIPS(nn.Module):
-    """Full LPIPS distance: d(x, y), inputs in [-1, 1], NHWC."""
+    """Full LPIPS distance: d(x, y) per image [B], inputs in [-1, 1], NHWC."""
 
     dtype: Any = jnp.float32
 
@@ -116,4 +116,4 @@ class LPIPS(nn.Module):
                 1, (1, 1), use_bias=False, dtype=jnp.float32, name=f"lin{i}"
             )(diff)
             total = total + jnp.mean(head, axis=(1, 2, 3))
-        return jnp.mean(total)
+        return total  # [B]

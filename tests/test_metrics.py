@@ -64,7 +64,7 @@ def test_dino_self_similarity_properties():
     assert sim.shape == (1, 10, 10)
     np.testing.assert_allclose(np.asarray(jnp.diagonal(sim[0])), 1.0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(sim), np.asarray(sim).transpose(0, 2, 1), atol=1e-5)
-    assert float(dino_distance(keys, keys)) == 0.0
+    assert float(dino_distance(keys, keys)[0]) == 0.0
 
 
 @pytest.fixture(scope="module")
