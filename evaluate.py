@@ -38,6 +38,13 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    if args.device == "cpu":
+        # honor the reference's --device flag (the image's sitecustomize
+        # overrides JAX_PLATFORMS, so set it through jax.config).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     from fastedit_tpu import MetricsCalculator, harness
 
     suffix = harness.detect_model_suffix(args.outputs_dir)

@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 from fastedit_tpu.ops import flags
 
 
-def _conv_kernel(xp_hbm, w_ref, o_ref, xs, acc, sem, *, ht, width, act):
+def _conv_kernel(xp_hbm, w_ref, o_ref, xs, sem, *, ht, width, act):
     b = pl.program_id(0)
     ih = pl.program_id(1)
 
@@ -39,23 +39,25 @@ def _conv_kernel(xp_hbm, w_ref, o_ref, xs, acc, sem, *, ht, width, act):
 
     cin = xs.shape[-1]
     co = o_ref.shape[-1]
-    acc[:] = jnp.zeros_like(acc)
+    # Accumulate in a VALUE (vregs), not a scratch ref: acc[:] += per tap
+    # would force ~2x9 VMEM round-trips of the f32 accumulator per tile.
+    acc = None
     for di in range(3):
         rows = xs[di : di + ht]  # [Ht, W+2, Cin] — outer-dim slice, free
         for dj in range(3):
             # static column slice at offset dj (Mosaic handles the
             # sub-sublane shift; bf16 rotate is unsupported, slices work).
             patch = rows[:, dj : dj + width, :].reshape(ht * width, cin)
-            acc[:] += jax.lax.dot_general(
+            part = jax.lax.dot_general(
                 patch,
                 w_ref[di, dj],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-    out = acc[:]
+            acc = part if acc is None else acc + part
     if act == "silu":
-        out = out * jax.nn.sigmoid(out)
-    o_ref[0] = out.reshape(ht, width, co).astype(o_ref.dtype)
+        acc = acc * jax.nn.sigmoid(acc)
+    o_ref[0] = acc.reshape(ht, width, co).astype(o_ref.dtype)
 
 
 def _pick_tiles(h: int, w: int, cin: int, cout: int, itemsize: int):
@@ -113,7 +115,6 @@ def _conv3x3_call(x, w, bias, act, ht, co):
         out_shape=jax.ShapeDtypeStruct((b, h, width, cout), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((ht + 2, wp, cin), x.dtype),
-            pltpu.VMEM((ht * width, co), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=flags.FLAGS.pallas_interpret,

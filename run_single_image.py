@@ -127,6 +127,11 @@ def main(argv=None):
         edited_img = run_edit()
         elapsed = time.time() - t0
     print(f"      Editing completed in {elapsed:.2f} seconds (incl. compile on first run)")
+    mem = editor.get_memory_usage()
+    print(
+        f"      Device memory: {mem['allocated_gb']:.2f}GB in use / "
+        f"{mem['reserved_gb']:.2f}GB limit"
+    )
 
     timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
     output_path = os.path.join(edited_dir, f"edited_{timestamp}.jpg")
