@@ -27,15 +27,29 @@ from jax.experimental.pallas import tpu as pltpu
 from fastedit_tpu.ops import flags
 
 
-def _conv_kernel(xp_hbm, w_ref, o_ref, xs, sem, *, ht, width, act):
+def _conv_kernel(xp_hbm, w_ref, o_ref, xs2, sem2, *, ht, width, act):
+    """Grid (B, Cout-tiles, H-tiles) — rows innermost so row tiles are
+    double-buffered: prefetch tile ih+1 while computing ih; the weight block
+    stays VMEM-resident across the whole inner row sweep."""
     b = pl.program_id(0)
-    ih = pl.program_id(1)
+    ih = pl.program_id(2)
+    nh = pl.num_programs(2)
 
-    copy = pltpu.make_async_copy(
-        xp_hbm.at[b, pl.ds(ih * ht, ht + 2)], xs, sem
-    )
-    copy.start()
-    copy.wait()
+    def dma(slot, row_tile):
+        return pltpu.make_async_copy(
+            xp_hbm.at[b, pl.ds(row_tile * ht, ht + 2)], xs2.at[slot], sem2.at[slot]
+        )
+
+    @pl.when(ih == 0)
+    def _warmup():
+        dma(0, 0).start()
+
+    @pl.when(ih + 1 < nh)
+    def _prefetch():
+        dma((ih + 1) % 2, ih + 1).start()
+
+    dma(ih % 2, ih).wait()
+    xs = xs2[ih % 2]
 
     cin = xs.shape[-1]
     co = o_ref.shape[-1]
@@ -68,11 +82,14 @@ def _pick_tiles(h: int, w: int, cin: int, cout: int, itemsize: int):
         for ht in (32, 16, 8, 4):
             if h % ht:
                 continue
-            xs_bytes = (ht + 2) * (w + 2) * cin * itemsize
+            xs_bytes = 2 * (ht + 2) * (w + 2) * cin * itemsize  # double-buffered
             acc_bytes = ht * w * co * 4
             out_bytes = ht * w * co * itemsize
             w_bytes = 9 * cin * co * itemsize
-            if xs_bytes + acc_bytes + out_bytes + w_bytes <= 10 * 1024 * 1024:
+            # Mosaic stacks the patch-slice copies on top of these; leave
+            # headroom (20 MB scoped-vmem overflow observed at a 10 MB
+            # budget with c=1280).
+            if xs_bytes + acc_bytes + out_bytes + w_bytes <= 7 * 1024 * 1024:
                 return ht, co
     return None
 
@@ -97,25 +114,25 @@ def _conv3x3_call(x, w, bias, act, ht, co):
     # of 8 (DMA sublane tiling): left 1, right >= 1.
     wp = -(-(width + 2) // 8) * 8
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - width - 1), (0, 0)))
-    grid = (b, h // ht, cout // co)
+    grid = (b, cout // co, h // ht)  # rows innermost (double buffering)
     out = pl.pallas_call(
         functools.partial(_conv_kernel, ht=ht, width=width, act=act),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # padded input, manual DMA
             pl.BlockSpec(
-                (3, 3, cin, co), lambda b, ih, ico: (0, 0, 0, ico),
+                (3, 3, cin, co), lambda b, ico, ih: (0, 0, 0, ico),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, ht, width, co), lambda b, ih, ico: (b, ih, 0, ico),
+            (1, ht, width, co), lambda b, ico, ih: (b, ih, 0, ico),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, width, cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((ht + 2, wp, cin), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, ht + 2, wp, cin), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=flags.FLAGS.pallas_interpret,
     )(xp, w)
