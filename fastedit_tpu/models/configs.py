@@ -70,14 +70,20 @@ class UNetConfig:
 # head count, 64-dim heads). ~2.57 B params.
 SDXL_UNET = UNetConfig()
 
-# SSD-1B (segmind/SSD-1B): SDXL topology with transformer depth pruned
-# (4 instead of 10 in the deep blocks/mid).  This default yields 1.316 B
-# UNet params, matching the published ~1.3 B; exact field values are
-# re-derived from the checkpoint's config.json at conversion time.
+# SSD-1B (segmind/SSD-1B): distilled SDXL (arXiv:2401.02677).  Down path
+# prunes the deep blocks 10->4, the **mid block is removed entirely**
+# (diffusers mid_block_type: null — the feature SSD-1B motivated), and the
+# up path is asymmetric (diffusers reverse_transformer_layers_per_block,
+# also SSD-1B-motivated), keeping one 10-deep module next to the 640-ch
+# skip.  1,300,195,844 params — the published "1.3 B" (fp16 shard ~2.6 GB).
+# Reconstructed from public descriptions (see tools/hf_vendored.py
+# provenance note); the converter re-derives the exact fields from the
+# checkpoint's own config.json at conversion time, so real-weight runs
+# never depend on this default.
 SSD1B_UNET = UNetConfig(
     down_transformer_layers=((0, 0), (2, 2), (4, 4)),
-    mid_transformer_layers=4,
-    up_transformer_layers=((4, 4, 4), (2, 2, 2), (0, 0, 0)),
+    mid_transformer_layers=None,
+    up_transformer_layers=((4, 4, 10), (2, 1, 1), (0, 0, 0)),
 )
 
 # Tiny smoke-model with the full SDXL topology shape (3 blocks, cross-attn,
@@ -105,16 +111,23 @@ class ControlNetConfig:
     conditioning_embedding_channels: Tuple[int, ...] = (16, 32, 96, 256)
 
 
-# diffusers/controlnet-canny-sdxl-1.0 (full) — encoder clone of SDXL UNet.
-SDXL_CONTROLNET_FULL = ControlNetConfig(unet=SDXL_UNET)
+# ControlNet is an encoder clone — no up path; up depths canonically zero.
+_NO_UP = ((0, 0, 0), (0, 0, 0), (0, 0, 0))
 
-# diffusers/controlnet-canny-sdxl-1.0-small — distilled conv-heavy variant
-# (transformer depth pruned to zero); converter re-derives exact values.
+# diffusers/controlnet-canny-sdxl-1.0 (full) — encoder clone of SDXL UNet.
+SDXL_CONTROLNET_FULL = ControlNetConfig(
+    unet=dataclasses.replace(SDXL_UNET, up_transformer_layers=_NO_UP)
+)
+
+# diffusers/controlnet-canny-sdxl-1.0-small — distilled conv-only variant
+# (down_block_types all DownBlock2D, mid UNetMidBlock2D without attention);
+# converter re-derives exact values from the checkpoint's config.json.
 SDXL_CONTROLNET_SMALL = ControlNetConfig(
     unet=dataclasses.replace(
         SDXL_UNET,
         down_transformer_layers=((0, 0), (0, 0), (0, 0)),
         mid_transformer_layers=0,
+        up_transformer_layers=_NO_UP,
     )
 )
 

@@ -93,20 +93,20 @@ def convert_component(kind: str, src: str, out: str, dtype: str = "bf16",
             lora_sd = load_file(lora_path)
             sd, n = lora.fuse_lora_into_state_dict(sd, lora_sd)
             print(f"[convert] fused {n} LoRA modules into the UNet")
-        params = hf_mapping.convert_unet(sd, cfg)
+        params = hf_mapping.convert_unet(sd, cfg, strict=True)
     elif kind == "controlnet":
         cfg_json = load_hf_config(src)
         cfg = hf_config.controlnet_config_from_hf(cfg_json)
-        params = hf_mapping.convert_controlnet(sd, cfg)
+        params = hf_mapping.convert_controlnet(sd, cfg, strict=True)
     elif kind == "vae":
         cfg_json = load_hf_config(src)
         cfg = hf_config.vae_config_from_hf(cfg_json)
-        params = hf_mapping.convert_vae(sd, cfg)
+        params = hf_mapping.convert_vae(sd, cfg, strict=True)
     elif kind in ("text_encoder", "text_encoder_2", "clip_text"):
         cfg_json = load_hf_config(src)
         with_proj = kind != "text_encoder" or "text_projection.weight" in sd
         cfg = hf_config.clip_text_config_from_hf(cfg_json, with_projection=with_proj)
-        params = hf_mapping.convert_clip_text(sd, cfg)
+        params = hf_mapping.convert_clip_text(sd, cfg, strict=True)
     elif kind == "clip_vision":
         cfg_json = load_hf_config(src)
         vcfg = cfg_json.get("vision_config", cfg_json)
@@ -119,19 +119,19 @@ def convert_component(kind: str, src: str, out: str, dtype: str = "bf16",
             intermediate_size=vcfg.get("intermediate_size", 3072),
             projection_dim=cfg_json.get("projection_dim", 512),
         )
-        params = hf_mapping.convert_clip_vision(sd, cfg)
+        params = hf_mapping.convert_clip_vision(sd, cfg, strict=True)
     elif kind == "dino":
         n_layers = sum(1 for k in sd if k.endswith(".attn.qkv.weight"))
         from fastedit_tpu.metrics.dino import DINOConfig
 
         cfg = DINOConfig(num_layers=n_layers)
-        params = hf_mapping.convert_dino_vit(sd, n_layers)
+        params = hf_mapping.convert_dino_vit(sd, n_layers, strict=True)
     elif kind == "lpips":
         if heads_src is None:
             raise ValueError("lpips conversion needs --heads_src")
         heads = load_hf_state_dict(heads_src)
         cfg = None
-        params = hf_mapping.convert_lpips_squeeze(sd, heads)
+        params = hf_mapping.convert_lpips_squeeze(sd, heads, strict=True)
     else:
         raise ValueError(f"unknown component kind: {kind}")
 

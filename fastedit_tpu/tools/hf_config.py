@@ -102,8 +102,20 @@ def unet_config_from_hf(cfg: Dict[str, Any]) -> UNetConfig:
 
 
 def controlnet_config_from_hf(cfg: Dict[str, Any]) -> ControlNetConfig:
+    import dataclasses
+
+    unet = unet_config_from_hf(cfg)
+    # ControlNet is an encoder clone — it has no up path; normalize the
+    # (unused) up depths to zeros so configs compare canonically.
+    layers = unet.layers_per_block + 1
+    unet = dataclasses.replace(
+        unet,
+        up_transformer_layers=tuple(
+            (0,) * layers for _ in unet.block_out_channels
+        ),
+    )
     return ControlNetConfig(
-        unet=unet_config_from_hf(cfg),
+        unet=unet,
         conditioning_channels=int(cfg.get("conditioning_channels", 3)),
         conditioning_embedding_channels=tuple(
             cfg.get("conditioning_embedding_out_channels", (16, 32, 96, 256))

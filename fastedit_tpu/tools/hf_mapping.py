@@ -41,6 +41,31 @@ class MappingError(KeyError):
     pass
 
 
+def _finish(sd: "_SD", strict: bool, allow: tuple = ()) -> None:
+    """Completeness gate: with ``strict`` every checkpoint tensor must have
+    been consumed (modulo an explicit allowlist of known-harmless extras,
+    e.g. non-persistent transformers buffers)."""
+    if not strict:
+        return
+    import fnmatch
+
+    leftover = [
+        k
+        for k in sd.unused()
+        if not any(fnmatch.fnmatch(k, pat) for pat in allow)
+    ]
+    if leftover:
+        raise MappingError(
+            f"{len(leftover)} unconsumed checkpoint tensors "
+            f"(converter/key-layout mismatch), e.g. {leftover[:8]}"
+        )
+
+
+# transformers buffers that may or may not be serialized depending on the
+# library version; never weights.
+_CLIP_ALLOWED_UNUSED = ("*position_ids",)
+
+
 class _SD:
     """State-dict view that tracks consumed keys (completeness checking)."""
 
@@ -108,7 +133,9 @@ def _norm(sd: _SD, key: str) -> Params:
 # --------------------------------------------------------------------------
 
 
-def convert_clip_text(sd_dict: Dict[str, np.ndarray], cfg: CLIPTextConfig) -> Params:
+def convert_clip_text(
+    sd_dict: Dict[str, np.ndarray], cfg: CLIPTextConfig, strict: bool = False
+) -> Params:
     sd = _SD(sd_dict)
     tm = sd.scoped("text_model.")
     params: Params = {
@@ -121,6 +148,8 @@ def convert_clip_text(sd_dict: Dict[str, np.ndarray], cfg: CLIPTextConfig) -> Pa
     }
     if cfg.projection_dim is not None:
         params["text_projection"] = _dense(sd, "text_projection", bias=False)
+    # a combined CLIPModel dump also carries the vision tower + logit_scale
+    _finish(sd, strict, _CLIP_ALLOWED_UNUSED + ("vision_model.*", "visual_projection.*", "logit_scale"))
     return params
 
 
@@ -147,13 +176,13 @@ def _clip_encoder_layers(tm: _SD, num_layers: int, prefix: str) -> Params:
 
 
 def convert_clip_vision(
-    sd_dict: Dict[str, np.ndarray], cfg: CLIPVisionConfig
+    sd_dict: Dict[str, np.ndarray], cfg: CLIPVisionConfig, strict: bool = False
 ) -> Params:
     """transformers CLIPVisionModelWithProjection (or the vision half of
     CLIPModel) -> our CLIPVisionModel params."""
     sd = _SD(sd_dict)
     vm = sd.scoped("vision_model.")
-    return {
+    params = {
         "patch_embedding": {
             "kernel": _conv(vm.take("embeddings.patch_embedding.weight"))
         },
@@ -164,9 +193,13 @@ def convert_clip_vision(
         "visual_projection": _dense(sd, "visual_projection", bias=False),
         "layers": _clip_encoder_layers(vm, cfg.num_layers, "encoder"),
     }
+    _finish(sd, strict, _CLIP_ALLOWED_UNUSED + ("text_model.*", "text_projection.*", "logit_scale"))
+    return params
 
 
-def convert_dino_vit(sd_dict: Dict[str, np.ndarray], num_layers: int) -> Params:
+def convert_dino_vit(
+    sd_dict: Dict[str, np.ndarray], num_layers: int, strict: bool = False
+) -> Params:
     """facebookresearch/dino ViT (timm-style names) -> our DINOViT params."""
     sd = _SD(sd_dict)
     params: Params = {
@@ -188,6 +221,12 @@ def convert_dino_vit(sd_dict: Dict[str, np.ndarray], num_layers: int) -> Params:
             }
         )
     params["blocks"] = {"block": stack_layer_trees(per_layer)}
+    # The checkpoint's final LayerNorm ("norm.*") is consumed but dropped:
+    # the DINO distance metric reads layer-11 attention keys only
+    # (reference src/metrics.py:89-111), so DINOViT has no final norm.
+    if sd.has("norm.weight"):
+        _norm(sd, "norm")
+    _finish(sd, strict)
     return params
 
 
@@ -199,7 +238,9 @@ _SQUEEZE_FIRES = {
 
 
 def convert_lpips_squeeze(
-    backbone_sd: Dict[str, np.ndarray], heads_sd: Dict[str, np.ndarray]
+    backbone_sd: Dict[str, np.ndarray],
+    heads_sd: Dict[str, np.ndarray],
+    strict: bool = False,
 ) -> Params:
     """torchvision squeezenet1_1 features + LPIPS 1x1 linear heads -> LPIPS
     params.  ``heads_sd`` keys: lin{0..6}.model.1.weight (lpips package) or
@@ -225,6 +266,8 @@ def convert_lpips_squeeze(
                 break
         else:
             raise MappingError(f"LPIPS head lin{i} not found in heads state dict")
+    # a full squeezenet1_1 dump also carries its (unused) 1000-class head
+    _finish(sd, strict, ("classifier.*",))
     return params
 
 
@@ -328,7 +371,9 @@ def _mid_block(sd: _SD, cfg: UNetConfig) -> Params:
     return p
 
 
-def convert_unet(sd_dict: Dict[str, np.ndarray], cfg: UNetConfig) -> Params:
+def convert_unet(
+    sd_dict: Dict[str, np.ndarray], cfg: UNetConfig, strict: bool = False
+) -> Params:
     sd = _SD(sd_dict)
     params: Params = {
         "conv_in": _conv2d(sd, "conv_in"),
@@ -349,10 +394,13 @@ def convert_unet(sd_dict: Dict[str, np.ndarray], cfg: UNetConfig) -> Params:
         if i < len(cfg.block_out_channels) - 1:
             p["upsamplers_0"] = {"conv": _conv2d(blk, "upsamplers.0.conv")}
         params[f"up_blocks_{i}"] = p
+    _finish(sd, strict)
     return params
 
 
-def convert_controlnet(sd_dict: Dict[str, np.ndarray], cfg: ControlNetConfig) -> Params:
+def convert_controlnet(
+    sd_dict: Dict[str, np.ndarray], cfg: ControlNetConfig, strict: bool = False
+) -> Params:
     sd = _SD(sd_dict)
     ucfg = cfg.unet
     params: Params = {
@@ -380,6 +428,7 @@ def convert_controlnet(sd_dict: Dict[str, np.ndarray], cfg: ControlNetConfig) ->
         )
         i += 1
     params["controlnet_mid_block"] = _conv2d(sd, "controlnet_mid_block")
+    _finish(sd, strict)
     return params
 
 
@@ -418,7 +467,9 @@ def _vae_mid(sd: _SD) -> Params:
     }
 
 
-def convert_vae(sd_dict: Dict[str, np.ndarray], cfg: VAEConfig) -> Params:
+def convert_vae(
+    sd_dict: Dict[str, np.ndarray], cfg: VAEConfig, strict: bool = False
+) -> Params:
     sd = _SD(sd_dict)
     n = len(cfg.block_out_channels)
 
@@ -456,9 +507,11 @@ def convert_vae(sd_dict: Dict[str, np.ndarray], cfg: VAEConfig) -> Params:
                 "conv": _conv2d(dec, f"up_blocks.{i}.upsamplers.0.conv")
             }
 
-    return {
+    params = {
         "encoder": encoder,
         "decoder": decoder,
         "quant_conv": _conv2d(sd, "quant_conv"),
         "post_quant_conv": _conv2d(sd, "post_quant_conv"),
     }
+    _finish(sd, strict)
+    return params

@@ -1,0 +1,330 @@
+"""De-circularized converter validation (round-1 verdict Missing #2).
+
+tools/hf_inventory.py independently enumerates the exact state_dict keys +
+shapes of the real HF checkpoints from their (vendored) config.json facts,
+following the upstream libraries' module construction rules.  These tests
+assert that:
+
+  * the inventory itself reproduces published param counts (SDXL UNet
+    2,567,463,684 — so the rule set is right), and
+  * every converter in tools/hf_mapping.py consumes **exactly** that
+    inventory (strict mode: any missing or leftover tensor raises) and
+    produces a param tree whose structure and shapes equal our Flax models'
+    init trees.
+
+A misspelled diffusers tensor name, a missed conv_shortcut, a wrong block
+count, or a transposed layout now fails here instead of surviving a
+circular synthesized-from-our-own-tree check.
+
+CLIP towers use ``transformers`` itself (installed in the image) as the
+oracle: the real torch modules are instantiated on the meta device and
+their parameter names/shapes diffed against the converter's consumption.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fastedit_tpu.models import configs as C
+from fastedit_tpu.models.controlnet import ControlNetModel
+from fastedit_tpu.models.unet import UNet2DConditionModel
+from fastedit_tpu.models.vae import AutoencoderKL
+from fastedit_tpu.tools import hf_config, hf_inventory as I, hf_mapping as M
+from fastedit_tpu.tools import hf_vendored as V
+
+
+def materialize(inv, dtype=np.float16):
+    """Inventory -> state dict of zero tensors (shapes are what matter)."""
+    return {k: np.zeros(s, dtype=dtype) for k, s in inv.items()}
+
+
+def shape_tree(tree):
+    return jax.tree.map(lambda x: tuple(x.shape), tree)
+
+
+def assert_same_tree_shapes(converted, model_shapes):
+    got = shape_tree(converted)
+    want = jax.tree.map(lambda s: tuple(s.shape), model_shapes)
+    flat_got = dict(jax.tree_util.tree_flatten_with_path(got)[0])
+    flat_want = dict(jax.tree_util.tree_flatten_with_path(want)[0])
+    only_got = sorted(set(flat_got) - set(flat_want))
+    only_want = sorted(set(flat_want) - set(flat_got))
+    assert not only_got and not only_want, (
+        f"tree structure mismatch: converter-only={only_got[:5]} "
+        f"model-only={only_want[:5]}"
+    )
+    bad = {
+        jax.tree_util.keystr(k): (flat_got[k], flat_want[k])
+        for k in flat_got
+        if flat_got[k] != flat_want[k]
+    }
+    assert not bad, f"shape mismatches: {dict(list(bad.items())[:5])}"
+
+
+def unet_init_shapes(cfg):
+    unet = UNet2DConditionModel(cfg)
+    key = jax.random.PRNGKey(0)
+    lat = jnp.zeros((1, 16, 16, cfg.in_channels))
+    t = jnp.zeros((1,))
+    ctx = jnp.zeros((1, 77, cfg.cross_attention_dim))
+    pooled_dim = (
+        cfg.projection_class_embeddings_input_dim - 6 * cfg.addition_time_embed_dim
+    )
+    pooled = jnp.zeros((1, pooled_dim))
+    tids = jnp.zeros((1, 6))
+    return jax.eval_shape(unet.init, key, lat, t, ctx, pooled, tids)["params"]
+
+
+def controlnet_init_shapes(cfg):
+    cn = ControlNetModel(cfg)
+    u = cfg.unet
+    key = jax.random.PRNGKey(0)
+    lat = jnp.zeros((1, 16, 16, u.in_channels))
+    t = jnp.zeros((1,))
+    ctx = jnp.zeros((1, 77, u.cross_attention_dim))
+    pooled_dim = (
+        u.projection_class_embeddings_input_dim - 6 * u.addition_time_embed_dim
+    )
+    pooled = jnp.zeros((1, pooled_dim))
+    tids = jnp.zeros((1, 6))
+    cond = jnp.zeros((1, 128, 128, cfg.conditioning_channels))
+    return jax.eval_shape(cn.init, key, lat, t, ctx, pooled, tids, cond, 1.0)[
+        "params"
+    ]
+
+
+# ------------------------------------------------------------- param counts
+
+
+def test_sdxl_unet_inventory_hits_published_param_count():
+    inv = I.unet_inventory(V.SDXL_UNET_CONFIG)
+    assert I.param_count(inv) == V.SDXL_UNET_PARAM_COUNT
+
+
+def test_ssd1b_unet_inventory_param_count():
+    # ~1.3 B exactly as published for the distilled UNet.
+    assert I.param_count(I.unet_inventory(V.SSD1B_UNET_CONFIG)) == 1_300_195_844
+
+
+def test_vae_inventory_param_count():
+    assert I.param_count(I.vae_inventory(V.VAE_CONFIG)) == 83_653_863
+
+
+def test_dino_vitb8_inventory_param_count():
+    inv = I.dino_vit_inventory(
+        embed_dim=768, depth=12, patch_size=8, image_size=224
+    )
+    assert I.param_count(inv) == 85_807_872
+
+
+# ------------------------------------------------- config-fixture derivation
+
+
+def test_vendored_sdxl_config_derives_shipped_default():
+    assert hf_config.unet_config_from_hf(V.SDXL_UNET_CONFIG) == C.SDXL_UNET
+
+
+def test_vendored_ssd1b_config_derives_shipped_default():
+    assert hf_config.unet_config_from_hf(V.SSD1B_UNET_CONFIG) == C.SSD1B_UNET
+
+
+def test_vendored_controlnet_configs_derive_shipped_defaults():
+    small = hf_config.controlnet_config_from_hf(V.CONTROLNET_SMALL_CONFIG)
+    assert small == C.SDXL_CONTROLNET_SMALL
+    full = hf_config.controlnet_config_from_hf(V.CONTROLNET_FULL_CONFIG)
+    assert full == C.SDXL_CONTROLNET_FULL
+
+
+def test_vendored_vae_config_derives_shipped_default():
+    assert hf_config.vae_config_from_hf(V.VAE_CONFIG) == C.SDXL_VAE
+
+
+# ------------------------------------------- converter consumes inventories
+
+
+@pytest.mark.parametrize(
+    "hf_cfg,expect_params",
+    [(V.SSD1B_UNET_CONFIG, 1_300_195_844), (V.SDXL_UNET_CONFIG, V.SDXL_UNET_PARAM_COUNT)],
+    ids=["ssd-1b", "sdxl"],
+)
+def test_unet_converter_roundtrip(hf_cfg, expect_params):
+    inv = I.unet_inventory(hf_cfg)
+    cfg = hf_config.unet_config_from_hf(hf_cfg)
+    params = M.convert_unet(materialize(inv), cfg, strict=True)
+    assert_same_tree_shapes(params, unet_init_shapes(cfg))
+    total = sum(int(np.asarray(x).size) for x in jax.tree.leaves(params))
+    assert total == expect_params
+
+
+@pytest.mark.parametrize(
+    "hf_cfg", [V.CONTROLNET_SMALL_CONFIG, V.CONTROLNET_FULL_CONFIG],
+    ids=["small", "full"],
+)
+def test_controlnet_converter_roundtrip(hf_cfg):
+    inv = I.controlnet_inventory(hf_cfg)
+    cfg = hf_config.controlnet_config_from_hf(hf_cfg)
+    params = M.convert_controlnet(materialize(inv), cfg, strict=True)
+    assert_same_tree_shapes(params, controlnet_init_shapes(cfg))
+
+
+def test_vae_converter_roundtrip():
+    inv = I.vae_inventory(V.VAE_CONFIG)
+    cfg = hf_config.vae_config_from_hf(V.VAE_CONFIG)
+    params = M.convert_vae(materialize(inv), cfg, strict=True)
+    vae = AutoencoderKL(cfg)
+    shapes = jax.eval_shape(
+        vae.init,
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 3)),
+        jax.random.PRNGKey(0),
+    )["params"]
+    assert_same_tree_shapes(params, shapes)
+
+
+def test_dino_converter_roundtrip():
+    from fastedit_tpu.metrics.dino import DINO_VITB8, DINOViT
+
+    inv = I.dino_vit_inventory(embed_dim=768, depth=12, patch_size=8, image_size=224)
+    params = M.convert_dino_vit(materialize(inv), 12, strict=True)
+    model = DINOViT(DINO_VITB8)
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3))
+    )["params"]
+    assert_same_tree_shapes(params, shapes)
+
+
+def test_lpips_converter_roundtrip():
+    from fastedit_tpu.metrics.lpips import LPIPS
+
+    backbone = materialize(I.squeezenet_features_inventory())
+    heads = materialize(I.lpips_heads_inventory())
+    params = M.convert_lpips_squeeze(backbone, heads, strict=True)
+    model = LPIPS()
+    shapes = jax.eval_shape(
+        model.init,
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 3)),
+        jnp.zeros((1, 64, 64, 3)),
+    )["params"]
+    assert_same_tree_shapes(params, shapes)
+
+
+def test_lpips_strict_rejects_classifier_extras_quietly():
+    backbone = materialize(I.squeezenet_features_inventory())
+    backbone["classifier.1.weight"] = np.zeros((1000, 512, 1, 1), np.float16)
+    backbone["classifier.1.bias"] = np.zeros((1000,), np.float16)
+    heads = materialize(I.lpips_heads_inventory())
+    M.convert_lpips_squeeze(backbone, heads, strict=True)  # allowlisted
+
+
+def test_strict_mode_catches_leftover_keys():
+    inv = I.vae_inventory(V.VAE_CONFIG)
+    sd = materialize(inv)
+    sd["decoder.bogus_tensor"] = np.zeros((1,), np.float16)
+    cfg = hf_config.vae_config_from_hf(V.VAE_CONFIG)
+    with pytest.raises(M.MappingError, match="unconsumed"):
+        M.convert_vae(sd, cfg, strict=True)
+
+
+def test_missing_key_raises():
+    inv = I.vae_inventory(V.VAE_CONFIG)
+    sd = materialize(inv)
+    del sd["decoder.mid_block.attentions.0.to_q.weight"]
+    cfg = hf_config.vae_config_from_hf(V.VAE_CONFIG)
+    with pytest.raises(M.MappingError, match="missing"):
+        M.convert_vae(sd, cfg, strict=True)
+
+
+# ------------------------------------------------------ CLIP (transformers)
+
+
+def _torch_meta_state_dict(model_ctor):
+    torch = pytest.importorskip("torch")
+    try:
+        from accelerate import init_empty_weights
+    except Exception:
+        pytest.skip("accelerate unavailable")
+    with init_empty_weights():
+        model = model_ctor()
+    return {
+        k: np.zeros(tuple(v.shape), np.float16)
+        for k, v in model.state_dict().items()
+    }
+
+
+def _clip_text_shapes(cfg):
+    from fastedit_tpu.models.clip import CLIPTextModel
+
+    model = CLIPTextModel(cfg)
+    return jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32)
+    )["params"]
+
+
+@pytest.mark.parametrize(
+    "hf_cfg,our_cfg,with_projection,expect_params",
+    [
+        (V.CLIP_VIT_L_TEXT_CONFIG, C.SDXL_TEXT_ENCODER, False, 123_060_480),
+        (V.CLIP_BIGG_TEXT_CONFIG, C.SDXL_TEXT_ENCODER_2, True, 694_659_840),
+    ],
+    ids=["vit-l", "bigG"],
+)
+def test_clip_text_converter_vs_transformers(
+    hf_cfg, our_cfg, with_projection, expect_params
+):
+    """transformers itself is the oracle: real CLIPTextModel[WithProjection]
+    parameter names/shapes must be consumed exactly."""
+    import transformers
+
+    cfg = transformers.CLIPTextConfig(**hf_cfg)
+    ctor = (
+        transformers.CLIPTextModelWithProjection
+        if with_projection
+        else transformers.CLIPTextModel
+    )
+    sd = _torch_meta_state_dict(lambda: ctor(cfg))
+    params = M.convert_clip_text(sd, our_cfg, strict=True)
+    assert_same_tree_shapes(params, _clip_text_shapes(our_cfg))
+    total = sum(int(np.asarray(x).size) for x in jax.tree.leaves(params))
+    assert total == expect_params
+
+
+def test_clip_b16_full_model_consumed_by_both_towers():
+    """openai/clip-vit-base-patch16 (CLIPScore backbone): a full CLIPModel
+    state dict is jointly consumed by the text+vision converters."""
+    import transformers
+
+    from fastedit_tpu.models.clip import CLIPVisionModel
+
+    cfg = transformers.CLIPConfig(
+        projection_dim=V.CLIP_B16_CONFIG["projection_dim"],
+        text_config=V.CLIP_B16_CONFIG["text_config"],
+        vision_config=V.CLIP_B16_CONFIG["vision_config"],
+    )
+    sd = _torch_meta_state_dict(lambda: transformers.CLIPModel(cfg))
+
+    text_params = M.convert_clip_text(sd, C.CLIP_B16_TEXT, strict=True)
+    assert_same_tree_shapes(text_params, _clip_text_shapes(C.CLIP_B16_TEXT))
+
+    vis_params = M.convert_clip_vision(sd, C.CLIP_B16_VISION, strict=True)
+    model = CLIPVisionModel(C.CLIP_B16_VISION)
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3))
+    )["params"]
+    assert_same_tree_shapes(vis_params, shapes)
+
+    # joint coverage: everything except logit_scale / position_ids buffers
+    # is owned by exactly one tower (strict=True above proved each side).
+    leftovers = {
+        k
+        for k in sd
+        if not (
+            k.startswith(("text_model.", "vision_model."))
+            or k in ("text_projection.weight", "visual_projection.weight")
+            or k == "logit_scale"
+            or k.endswith("position_ids")
+        )
+    }
+    assert not leftovers, leftovers
