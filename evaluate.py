@@ -29,6 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default checkpoints/metrics)")
     p.add_argument("--tiny_metrics", action="store_true",
                    help="Random tiny metric backbones (smoke testing)")
+    p.add_argument("--allow_random_metrics", action="store_true",
+                   help="Emit LPIPS/CLIP/DINO from RANDOM backbone weights "
+                        "when no converted checkpoints exist (values are "
+                        "meaningless; without this flag they are NaN)")
     p.add_argument("--batch_size", type=int, default=16,
                    help="Images per metric batch (1 = reference-style "
                         "strictly per-image evaluation)")
@@ -69,7 +73,13 @@ def main(argv=None):
         device=args.device,
         weights_dir=args.metrics_weights,
         tiny=args.tiny_metrics,
+        allow_random=args.allow_random_metrics,
     )
+    if not calc.learned_enabled:
+        print(
+            "      WARNING: no converted LPIPS/CLIP/DINO weights — those "
+            "columns will be NaN (use --allow_random_metrics to override)."
+        )
 
     # Collect the evaluable pairs first, then run metric batches.
     work = []

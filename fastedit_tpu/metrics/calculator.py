@@ -51,6 +51,7 @@ class MetricsCalculator:
         weights_dir: Optional[str] = None,
         tiny: bool = False,
         init_seed: int = 0,
+        allow_random: bool = False,
     ):
         self.device = device
         self.metric_size = (512, 512)
@@ -101,13 +102,27 @@ class MetricsCalculator:
             else:
                 self._params[name] = init_fn()
                 missing.append(name)
+        # Fail closed: learned metrics never silently produce random-weight
+        # numbers (reference evaluate.py artifact integrity). Tiny mode is
+        # a smoke configuration and exempt; ``allow_random`` is the explicit
+        # opt-in (--allow_random_metrics in evaluate.py).
+        self.random_backbones = tuple(missing) if not tiny else ()
+        self.learned_enabled = not self.random_backbones or allow_random
         if missing and not tiny:
-            warnings.warn(
+            msg = (
                 f"[MetricsCalculator] no converted weights for {missing} under "
-                f"{weights_dir}; using RANDOM weights — LPIPS/CLIP/DINO values "
-                "will not be meaningful (SSIM/PSNR/MSE are unaffected). Run "
+                f"{weights_dir}; LPIPS/CLIP/DINO "
+                + (
+                    "will use RANDOM weights (allow_random=True) — values are "
+                    "not meaningful."
+                    if allow_random
+                    else "are DISABLED and will report NaN (pass "
+                    "allow_random=True / --allow_random_metrics to override)."
+                )
+                + " SSIM/PSNR/MSE are unaffected. Run "
                 "tools/convert_checkpoint.py to enable learned metrics."
             )
+            warnings.warn(msg)
         tok_dir = os.path.join(weights_dir, "clip_tokenizer")
         if os.path.isdir(tok_dir):
             self.clip_tokenizer = CLIPTokenizer.from_dir(tok_dir)
@@ -164,6 +179,8 @@ class MetricsCalculator:
         return float(self._jit_mse(a, b))
 
     def calculate_lpips(self, img1: Image.Image, img2: Image.Image) -> float:
+        if not self.learned_enabled:
+            return float("nan")
         a, b = self._pair_512(img1, img2)
         return float(self._jit_lpips(self._params["lpips"], a * 2 - 1, b * 2 - 1)[0])
 
@@ -177,6 +194,8 @@ class MetricsCalculator:
         return jnp.maximum(100.0 * jnp.sum(img_emb * txt_emb, axis=-1), 0.0)  # [B]
 
     def calculate_clip_score(self, img: Image.Image, text: str) -> float:
+        if not self.learned_enabled:
+            return float("nan")
         size = self.clip_vision_cfg.image_size
         img = img.convert("RGB").resize((size, size), Image.BICUBIC)
         arr = np.asarray(img, dtype=np.float32) / 255.0
@@ -202,6 +221,8 @@ class MetricsCalculator:
     def calculate_dino_distance(
         self, source_img: Image.Image, edited_img: Image.Image
     ) -> float:
+        if not self.learned_enabled:
+            return float("nan")
         size = self.dino_cfg.image_size
 
         def prep(img):
@@ -265,6 +286,19 @@ class MetricsCalculator:
         ssim = np.asarray(self._jit_ssim_b(src, edt))
         psnr = np.asarray(self._jit_psnr_b(src, edt))
         mse = np.asarray(self._jit_mse_b(src, edt))
+        if not self.learned_enabled:
+            nan = np.full((n,), np.nan, np.float32)
+            return [
+                {
+                    "ssim": float(ssim[i]),
+                    "lpips": float(nan[i]),
+                    "clip_score": float(nan[i]),
+                    "psnr": float(psnr[i]),
+                    "mse": float(mse[i]),
+                    "dino_distance": float(nan[i]),
+                }
+                for i in range(n)
+            ]
         lpips = np.asarray(
             self._jit_lpips(self._params["lpips"], src * 2 - 1, edt * 2 - 1)
         )

@@ -144,3 +144,31 @@ def test_unknown_model_rejected():
 def test_missing_checkpoint_message():
     with pytest.raises(FileNotFoundError, match="convert_checkpoint"):
         FastEditor("ssd-1b", checkpoint_dir="/nonexistent/path")
+
+
+def test_batched_prompt_encoding_dispatch_count(editor):
+    """A chunk with B novel prompts costs at most 2 text-encoder dispatches
+    (one batched novel-prompt encode; CFG negative included in the same
+    batch). Round-1 verdict Weak #6."""
+    editor.clear_memory()  # reset prompt cache
+    calls = []
+    orig = editor._encode_prompt
+
+    def counting(ids1, ids2):
+        calls.append(int(ids1.shape[0]))
+        return orig(ids1, ids2)
+
+    editor._encode_prompt = counting
+    try:
+        imgs = [_img(i) for i in range(3)]
+        prompts = [f"prompt number {i}" for i in range(3)]
+        out = editor.edit_batch(imgs, prompts, seed=0, guidance_scale=1.5)
+        assert len(out) == 3
+        assert len(calls) == 1, calls  # 3 prompts + negative in ONE dispatch
+        assert calls[0] == 4  # padded to power of two
+        # fully cached chunk: zero dispatches
+        calls.clear()
+        editor.edit_batch(imgs, prompts, seed=0, guidance_scale=1.5)
+        assert calls == []
+    finally:
+        editor._encode_prompt = orig
