@@ -98,6 +98,27 @@ def compare(kind: str, golden_path: str, ckpt_dir: str, precision: str = "bf16")
             {"params": params}, jnp.asarray(inputs["latents"]), method=model.decode
         )
         np.testing.assert_allclose(np.asarray(dec, np.float32), golden["decoded"], **tol)
+    elif kind == "controlnet":
+        from fastedit_tpu.models.controlnet import ControlNetModel
+
+        cfg = ckpt_io.load_config(ckpt_dir, C.ControlNetConfig)
+        model = ControlNetModel(cfg, dtype=dt, param_dtype=dt)
+        params = ckpt_io.load_params(ckpt_dir, dt)
+        down, mid = model.apply(
+            {"params": params},
+            jnp.asarray(inputs["latents"]),
+            jnp.asarray(inputs["timestep"]),
+            jnp.asarray(inputs["context"]),
+            jnp.asarray(inputs["pooled"]),
+            jnp.asarray(inputs["time_ids"]),
+            jnp.asarray(inputs["cond_image"]),
+            1.0,
+        )
+        for i, r in enumerate(down):
+            np.testing.assert_allclose(
+                np.asarray(r, np.float32), golden[f"down_{i}"], **tol
+            )
+        np.testing.assert_allclose(np.asarray(mid, np.float32), golden["mid"], **tol)
     elif kind in ("text_encoder", "text_encoder_2"):
         cfg = ckpt_io.load_config(ckpt_dir, C.CLIPTextConfig)
         model = CLIPTextModel(cfg, dtype=dt, param_dtype=dt)
@@ -108,9 +129,102 @@ def compare(kind: str, golden_path: str, ckpt_dir: str, precision: str = "bf16")
             golden["penultimate"],
             **tol,
         )
+        if "pooled" in golden:
+            np.testing.assert_allclose(
+                np.asarray(out.pooled_output, np.float32), golden["pooled"], **tol
+            )
     else:
         raise ValueError(kind)
     print(f"[goldens] {kind}: OK within {precision} tolerances")
+
+
+# --------------------------------------------------------------------------
+# capture side (torch / diffusers / transformers; needs egress-installed deps)
+# --------------------------------------------------------------------------
+
+
+def capture(kind: str, src: str, out_path: str) -> None:
+    """Run the reference torch module on ``golden_inputs`` and save the
+    activations.  ``src`` is the HF snapshot component dir (the same one
+    tools/convert_checkpoint.py consumes), so capture and conversion see the
+    identical weights.  fp32 end to end: goldens are precision anchors.
+    """
+    import torch
+
+    x = golden_inputs(kind)
+    to_t = lambda a: torch.from_numpy(np.asarray(a))  # noqa: E731
+    nchw = lambda a: to_t(a).permute(0, 3, 1, 2).contiguous()  # noqa: E731
+    nhwc = lambda t: t.permute(0, 2, 3, 1).numpy()  # noqa: E731
+    arrays = {}
+
+    with torch.no_grad():
+        if kind == "unet":
+            from diffusers import UNet2DConditionModel
+
+            unet = UNet2DConditionModel.from_pretrained(
+                src, torch_dtype=torch.float32
+            ).eval()
+            eps = unet(
+                nchw(x["latents"]),
+                to_t(x["timestep"]),
+                encoder_hidden_states=to_t(x["context"]),
+                added_cond_kwargs={
+                    "text_embeds": to_t(x["pooled"]),
+                    "time_ids": to_t(x["time_ids"]),
+                },
+            ).sample
+            arrays["eps"] = nhwc(eps)
+        elif kind == "controlnet":
+            from diffusers import ControlNetModel
+
+            cn = ControlNetModel.from_pretrained(
+                src, torch_dtype=torch.float32
+            ).eval()
+            down, mid = cn(
+                nchw(x["latents"]),
+                to_t(x["timestep"]),
+                encoder_hidden_states=to_t(x["context"]),
+                controlnet_cond=nchw(x["cond_image"]),
+                conditioning_scale=1.0,
+                added_cond_kwargs={
+                    "text_embeds": to_t(x["pooled"]),
+                    "time_ids": to_t(x["time_ids"]),
+                },
+                return_dict=False,
+            )
+            for i, r in enumerate(down):
+                arrays[f"down_{i}"] = nhwc(r)
+            arrays["mid"] = nhwc(mid)
+        elif kind == "vae":
+            from diffusers import AutoencoderKL
+
+            vae = AutoencoderKL.from_pretrained(
+                src, torch_dtype=torch.float32
+            ).eval()
+            posterior = vae.encode(nchw(x["image"])).latent_dist
+            arrays["mean"] = nhwc(posterior.mean)
+            arrays["decoded"] = nhwc(vae.decode(nchw(x["latents"])).sample)
+        elif kind in ("text_encoder", "text_encoder_2"):
+            import transformers
+
+            ctor = (
+                transformers.CLIPTextModelWithProjection
+                if kind == "text_encoder_2"
+                else transformers.CLIPTextModel
+            )
+            te = ctor.from_pretrained(src, torch_dtype=torch.float32).eval()
+            outs = te(to_t(x["input_ids"]), output_hidden_states=True)
+            arrays["penultimate"] = outs.hidden_states[-2].numpy()
+            if kind == "text_encoder_2":
+                arrays["pooled"] = outs.text_embeds.numpy()
+        else:
+            raise ValueError(kind)
+
+    import os
+
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    np.savez(out_path, **arrays)
+    print(f"[goldens] captured {kind} -> {out_path} ({sorted(arrays)})")
 
 
 CAPTURE_SNIPPET = r"""
@@ -134,14 +248,26 @@ CAPTURE_SNIPPET = r"""
 """
 
 
+_KINDS = ["unet", "controlnet", "vae", "text_encoder", "text_encoder_2"]
+
+
 def main(argv=None):
-    p = argparse.ArgumentParser(description="Compare goldens against our modules")
-    p.add_argument("kind", choices=["unet", "vae", "text_encoder", "text_encoder_2"])
-    p.add_argument("--golden", required=True, help=".npz captured from torch side")
-    p.add_argument("--ckpt", required=True, help="converted checkpoint dir")
-    p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    p = argparse.ArgumentParser(description="Golden activation capture/compare")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    cap = sub.add_parser("capture", help="torch side: run + save activations")
+    cap.add_argument("--kind", required=True, choices=_KINDS)
+    cap.add_argument("--src", required=True, help="HF snapshot component dir")
+    cap.add_argument("--out", required=True, help="output .npz path")
+    cmp_ = sub.add_parser("compare", help="JAX side: check our module")
+    cmp_.add_argument("--kind", required=True, choices=_KINDS)
+    cmp_.add_argument("--golden", required=True, help=".npz from capture")
+    cmp_.add_argument("--ckpt", required=True, help="converted checkpoint dir")
+    cmp_.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
     args = p.parse_args(argv)
-    compare(args.kind, args.golden, args.ckpt, args.precision)
+    if args.cmd == "capture":
+        capture(args.kind, args.src, args.out)
+    else:
+        compare(args.kind, args.golden, args.ckpt, args.precision)
     return 0
 
 
