@@ -1,0 +1,267 @@
+"""Conv micro-benchmarks on the real chip: XLA conv vs Pallas variants.
+
+Covers the conv shapes that dominate the edit path (SSD-1B UNet stages at
+128x128 latents with the CFG batch of 2, and the VAE decoder pyramid at
+batch 1), plus the GroupNorm+SiLU+conv resnet chain to measure how
+HBM-bound the decoder is.
+
+Timing follows bench_kernels.py methodology: the axon relay acks
+block_until_ready early, so loop the op inside one jit and sync via a
+scalar readback.
+
+Usage: python bench_conv.py [conv|chain|attn|all]
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _time(fn, *args, inner=48, outer=3):
+    # inner must be large: the axon relay adds ~25 ms per *sync*, so the
+    # apparent per-op floor is ~25ms/inner (inner=8 showed a 3.2 ms floor
+    # on every row of the first run of this bench).  fori_loop keeps the
+    # compile O(1) in inner (48 unrolled conv chains blow the compile
+    # budget); iterations are data-dependent either way.
+    def many(*a):
+        x = jax.lax.fori_loop(0, inner, lambda i, x: fn(x, *a[1:]), a[0])
+        return jnp.sum(x.astype(jnp.float32))
+
+    f = jax.jit(many)
+    float(f(*args))  # compile
+    t0 = time.time()
+    for _ in range(outer):
+        float(f(*args))
+    return (time.time() - t0) / outer / inner
+
+
+# (B, H, W, Cin, Cout) — same-channel 3x3s keep the loop-in-jit feedback legal
+SHAPES = [
+    (2, 128, 128, 320, 320),   # UNet stage 1 (CFG batch)
+    (2, 64, 64, 640, 640),     # UNet stage 2
+    (2, 32, 32, 1280, 1280),   # UNet stage 3
+    (1, 128, 128, 512, 512),   # VAE decoder entry / mid
+    (1, 256, 256, 512, 512),   # VAE decoder up1
+    (1, 512, 512, 256, 256),   # VAE decoder up2
+    (1, 1024, 1024, 128, 128), # VAE decoder up3 / encoder entry
+]
+
+
+def conv_xla(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def bench_conv():
+    from fastedit_tpu.ops import conv3x3 as pc
+
+    key = jax.random.PRNGKey(0)
+    print("3x3 SAME conv (bf16, fp32 accum):")
+    for b, h, w_, cin, cout in SHAPES:
+        kx, kw = jax.random.split(key)
+        x = jax.random.normal(kx, (b, h, w_, cin), jnp.bfloat16)
+        w = jax.random.normal(kw, (3, 3, cin, cout), jnp.bfloat16) * 0.05
+        flops = 2 * b * h * w_ * 9 * cin * cout
+        tx = _time(conv_xla, x, w)
+        line = (
+            f"  {b}x{h:4d}x{w_:4d}x{cin:4d}->{cout:4d}:"
+            f" xla {tx*1e3:7.3f} ms ({flops/tx/1e12:5.1f} TF/s)"
+        )
+        if pc.supports(x.shape, w.shape):
+            tp = _time(lambda xx: pc.conv3x3(xx, w), x)
+            line += f" | pallas {tp*1e3:7.3f} ms ({flops/tp/1e12:5.1f} TF/s) | {tx/tp:4.2f}x"
+        print(line, flush=True)
+
+
+def bench_chain():
+    """GroupNorm(32) + SiLU + conv3x3 chain — the resnet inner pattern."""
+    key = jax.random.PRNGKey(1)
+    print("GN(32)+SiLU+conv3x3 chain (XLA, bf16):")
+    for b, h, w_, cin, cout in SHAPES:
+        kx, kw = jax.random.split(key)
+        x = jax.random.normal(kx, (b, h, w_, cin), jnp.bfloat16)
+        w = jax.random.normal(kw, (3, 3, cin, cout), jnp.bfloat16) * 0.05
+        scale = jnp.ones((cin,), jnp.bfloat16)
+        bias = jnp.zeros((cin,), jnp.bfloat16)
+        conv_flops = 2 * b * h * w_ * 9 * cin * cout
+        # HBM floor if GN+SiLU fully fused into the conv read:
+        bytes_min = (b * h * w_ * (cin + cout)) * 2
+
+        def chain_old(xx):
+            f = xx.astype(jnp.float32).reshape(b, h * w_, 32, cin // 32)
+            mean = f.mean(axis=(1, 3), keepdims=True)
+            var = f.var(axis=(1, 3), keepdims=True)
+            n = ((f - mean) * jax.lax.rsqrt(var + 1e-5)).reshape(b, h, w_, cin)
+            n = n * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+            n = (n * jax.nn.sigmoid(n)).astype(xx.dtype)
+            return conv_xla(n, w)
+
+        def chain_new(xx):
+            from fastedit_tpu.ops.groupnorm import group_norm_xla
+
+            return conv_xla(group_norm_xla(xx, scale, bias, 32, act="silu"), w)
+
+        t = _time(chain_old, x)
+        tn = _time(chain_new, x)
+        tc = _time(conv_xla, x, w)
+        print(
+            f"  {b}x{h:4d}x{w_:4d}x{cin:4d}->{cout:4d}:"
+            f" old {t*1e3:7.3f} ms | new {tn*1e3:7.3f} ms ({t/tn:4.2f}x)"
+            f" | conv alone {tc*1e3:7.3f} ms"
+            f" | gn adds old {(t-tc)*1e3:6.3f} new {(tn-tc)*1e3:6.3f} ms"
+            f" | hbm floor {bytes_min/819e9*1e3:6.3f} ms @800GB/s",
+            flush=True,
+        )
+
+
+def bench_gn():
+    """GroupNorm(32)+SiLU: old reshape-formulation vs ops.group_norm_xla."""
+    from fastedit_tpu.ops.groupnorm import group_norm_xla
+
+    def gn_old(x, gamma, beta, eps=1e-5):
+        b, h, w_, c = x.shape
+        xf = x.astype(jnp.float32).reshape(b, h, w_, 32, c // 32)
+        mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 4), keepdims=True)
+        xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(b, h, w_, c)
+        out = xn * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+        out = out * jax.nn.sigmoid(out)
+        return out.astype(x.dtype)
+
+    key = jax.random.PRNGKey(2)
+    print("GroupNorm(32)+SiLU (bf16):")
+    for b, h, w_, cin, _ in SHAPES:
+        x = jax.random.normal(key, (b, h, w_, cin), jnp.bfloat16)
+        gamma = jnp.ones((cin,), jnp.float32)
+        beta = jnp.zeros((cin,), jnp.float32)
+        floor = 4 * b * h * w_ * cin * 2 / 819e9  # 3R+1W bf16 @800GB/s
+        t_old = _time(lambda xx: gn_old(xx, gamma, beta), x)
+        t_new = _time(
+            lambda xx: group_norm_xla(xx, gamma, beta, 32, act="silu"), x
+        )
+        print(
+            f"  {b}x{h:4d}x{w_:4d}x{cin:4d}: old {t_old*1e3:7.3f} ms"
+            f" | new {t_new*1e3:7.3f} ms | {t_old/t_new:4.2f}x"
+            f" | 4-pass floor {floor*1e3:6.3f} ms",
+            flush=True,
+        )
+
+
+def bench_attn():
+    """Ours vs jax.experimental.pallas.ops.tpu.flash_attention vs XLA."""
+    from fastedit_tpu.ops.attention import attention_xla
+    from fastedit_tpu.ops import flash_attention as fa
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        flash_attention as jax_fa, BlockSizes,
+    )
+
+    key = jax.random.PRNGKey(0)
+    print("attention (bf16) [B,S,H,D]:")
+    for s, h, d in [(4096, 10, 64), (1024, 20, 64), (256, 20, 64), (16384, 1, 512)]:
+        q, k, v = (
+            jax.random.normal(kk, (2, s, h, d), jnp.bfloat16)
+            for kk in jax.random.split(key, 3)
+        )
+        flops = 2 * 4 * h * s * s * d  # 2 matmuls fwd, x2 batch
+
+        def ours(q):
+            return fa.flash_attention(q, k, v)
+
+        def xla(q):
+            return attention_xla(q, k, v)
+
+        def jaxfa(q):
+            # jax kernel wants [B, H, S, D]
+            qt, kt, vt = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
+            o = jax_fa(qt, kt, vt, sm_scale=d ** -0.5)
+            return jnp.swapaxes(o, 1, 2)
+
+        to = _time(ours, q)
+        tx = _time(xla, q)
+        line = (
+            f"  S={s:5d} H={h:2d} D={d:3d}:"
+            f" ours {to*1e3:7.3f} ms ({flops/to/1e12:5.1f} TF/s)"
+            f" | xla {tx*1e3:7.3f} ms ({flops/tx/1e12:5.1f} TF/s)"
+        )
+        try:
+            tj = _time(jaxfa, q)
+            line += f" | jax-fa {tj*1e3:7.3f} ms ({flops/tj/1e12:5.1f} TF/s)"
+        except Exception as e:
+            line += f" | jax-fa FAILED {type(e).__name__}: {str(e)[:60]}"
+        print(line, flush=True)
+
+
+def bench_matmul():
+    """Transformer-block dense shapes (bf16, fp32 accum)."""
+    key = jax.random.PRNGKey(3)
+    print("dense matmul (bf16):")
+    shapes = [
+        (8192, 640, 640),     # stage-2 qkv/out proj (S=4096, CFG batch 2)
+        (8192, 640, 5120),    # stage-2 GEGLU up
+        (8192, 2560, 640),    # stage-2 GEGLU down
+        (2048, 1280, 1280),   # stage-3 qkv/out
+        (2048, 1280, 10240),  # stage-3 GEGLU up
+        (2048, 5120, 1280),   # stage-3 GEGLU down
+    ]
+    for m, k_, n in shapes:
+        ka, kb = jax.random.split(key)
+        a = jax.random.normal(ka, (m, k_), jnp.bfloat16)
+        w = jax.random.normal(kb, (k_, n), jnp.bfloat16) * 0.02
+        w_back = jax.random.normal(kb, (n, k_), jnp.bfloat16) * 0.02
+        flops = 2 * m * k_ * n * 2  # fwd + back-projection per iteration
+
+        def mm(x):
+            y = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+            return jnp.dot(y, w_back, preferred_element_type=jnp.float32).astype(
+                x.dtype
+            )
+
+        t = _time(mm, a)
+        print(
+            f"  [{m:5d},{k_:5d}]x[{k_:5d},{n:5d}] (+back): {t*1e3:7.3f} ms"
+            f" ({flops/t/1e12:5.1f} TF/s)",
+            flush=True,
+        )
+
+
+def bench_resize():
+    """Nearest 2x upsample (UNet/VAE upsamplers) + LCM-loop glue ops."""
+    key = jax.random.PRNGKey(4)
+    print("nearest 2x upsample (bf16):")
+    for b, h, w_, c in [(2, 32, 32, 1280), (2, 64, 64, 640), (1, 128, 128, 512),
+                        (1, 256, 256, 512), (1, 512, 512, 256)]:
+        x = jax.random.normal(key, (b, h, w_, c), jnp.bfloat16)
+        gb = (b * h * w_ * c * 2 * 5) / 1e9  # 1 read + 4 writes
+
+        def up_then_down(xx):
+            y = jax.image.resize(xx, (b, 2 * h, 2 * w_, c), "nearest")
+            return y[:, ::2, ::2, :]
+
+        t = _time(up_then_down, x)
+        print(
+            f"  {b}x{h:4d}x{w_:4d}x{c:4d} -> 2x: {t*1e3:7.3f} ms"
+            f" ({gb/t:5.0f} GB/s incl downsample)",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    if which in ("conv", "all"):
+        bench_conv()
+    if which in ("chain", "all"):
+        bench_chain()
+    if which in ("gn", "all"):
+        bench_gn()
+    if which in ("attn", "all"):
+        bench_attn()
+    if which in ("matmul", "all"):
+        bench_matmul()
+    if which in ("resize", "all"):
+        bench_resize()

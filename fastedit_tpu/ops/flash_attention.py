@@ -43,7 +43,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale):
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]  # [BQ, D]
+    # Scale is folded into q (one [BQ, D] multiply) instead of into the
+    # [BQ, BKV] score tile — the kernel is VPU-bound at D=64, every
+    # elementwise op on the score tile counts.
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)  # [BQ, D]
     k = k_ref[0]  # [BKV, D]
     v = v_ref[0]  # [BKV, D]
 
@@ -52,8 +55,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale):
         k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    s = s * scale  # [BQ, BKV]
+    )  # [BQ, BKV]
 
     m_prev = m_ref[:, 0:1]  # [BQ, 1]
     m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -61,8 +63,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale):
     alpha = jnp.exp(m_prev - m_new)  # [BQ, 1]
     p = jnp.exp(s - m_new)  # [BQ, BKV]
 
-    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    # Stats live in lane 0 only; a 128-lane broadcast write per kv step is
+    # pure VPU/VMEM waste.
+    l_ref[:, 0:1] = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    m_ref[:, 0:1] = m_new
     pv = jax.lax.dot_general(
         p.astype(v.dtype),
         v,

@@ -23,7 +23,16 @@ def group_norm_xla(
     eps: float = 1e-5,
     act: str | None = None,
 ) -> jax.Array:
-    """x: [..., H, W, C] (NHWC); gamma/beta: [C]. act in {None, 'silu'}."""
+    """x: [..., H, W, C] (NHWC); gamma/beta: [C]. act in {None, 'silu'}.
+
+    Measurement note (v5e, bench_conv.py chain mode with fori_loop timing):
+    XLA compiles this reshape-formulation to within ~2x of the HBM roofline
+    at every pipeline shape when it feeds a conv (0.03-1.5 ms overhead).  A
+    hand "layout-friendly" C-minor-stats rewrite measured equal on 6/7
+    shapes and 2.6 ms WORSE at 256²x512, so it was reverted.  (Unrolled-
+    loop timing had suggested a 9 ms GroupNorm cost at 1024²x128 — that was
+    a measurement artifact of the axon relay's ~25 ms/sync floor.)
+    """
     orig_dtype = x.dtype
     *lead, h, w, c = x.shape
     assert c % num_groups == 0, f"channels {c} not divisible by groups {num_groups}"

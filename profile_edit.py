@@ -39,7 +39,11 @@ def main():
     editor.edit(img, "warmup", seed=0)  # fused core
 
     timer = StageTimer()
-    for i in range(3):
+    # Iteration 0 compiles every unfused stage program; report steady state
+    # only (iterations >= 1).
+    for i in range(4):
+        if i == 1:
+            timer = StageTimer()
         prompt = f"a rusty bicycle {i}"
         with timer.stage("host: resize/u8") as out:
             u8 = np.asarray(resize(img.convert("RGB"), r), dtype=np.uint8)

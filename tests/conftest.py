@@ -15,12 +15,30 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 # The image's sitecustomize force-registers the real-TPU ("axon") backend and
 # overrides JAX_PLATFORMS; a post-import config update wins over it.
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the suite's wall time is dominated by repeated
+# CPU compiles of the same tiny-model programs across runs.
+jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
 assert len(jax.devices()) == 8, "expected 8 virtual devices for sharding tests"
+
+import jax.numpy as jnp  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def tiny_editor_f32():
+    """One tiny fp32 editor shared by every test module (init ~minutes on
+    this 1-core CPU; tests that mutate it must restore state)."""
+    from fastedit_tpu import FastEditor
+
+    return FastEditor("tiny", dtype=jnp.float32)

@@ -11,8 +11,8 @@ from fastedit_tpu import FastEditor
 
 
 @pytest.fixture(scope="module")
-def editor():
-    return FastEditor("tiny", dtype=jnp.float32)
+def editor(tiny_editor_f32):
+    return tiny_editor_f32
 
 
 def _img(seed=0, n=64):

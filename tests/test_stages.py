@@ -7,13 +7,13 @@ from PIL import Image
 import jax
 import jax.numpy as jnp
 
-from fastedit_tpu import FastEditor
+
 from fastedit_tpu.ops.canny import canny_np
 
 
 @pytest.fixture(scope="module")
-def editor():
-    return FastEditor("tiny", dtype=jnp.float32)
+def editor(tiny_editor_f32):
+    return tiny_editor_f32
 
 
 def _img(seed=0, n=64):
