@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 from fastedit_tpu.ops import flags
 
 
-def _conv_kernel(xp_hbm, w_ref, o_ref, xs2, sem2, *, ht, width, act):
+def _conv_kernel(xp_hbm, w_ref, b_ref, o_ref, xs2, sem2, *, ht, width, act):
     """Grid (B, Cout-tiles, H-tiles) — rows innermost so row tiles are
     double-buffered: prefetch tile ih+1 while computing ih; the weight block
     stays VMEM-resident across the whole inner row sweep."""
@@ -69,6 +69,7 @@ def _conv_kernel(xp_hbm, w_ref, o_ref, xs2, sem2, *, ht, width, act):
                 preferred_element_type=jnp.float32,
             )
             acc = part if acc is None else acc + part
+    acc = acc + b_ref[:]  # [1, co] broadcast — fused, no extra output pass
     if act == "silu":
         acc = acc * jax.nn.sigmoid(acc)
     o_ref[0] = acc.reshape(ht, width, co).astype(o_ref.dtype)
@@ -115,14 +116,17 @@ def _conv3x3_call(x, w, bias, act, ht, co):
     wp = -(-(width + 2) // 8) * 8
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - width - 1), (0, 0)))
     grid = (b, cout // co, h // ht)  # rows innermost (double buffering)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_conv_kernel, ht=ht, width=width, act=act),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # padded input, manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # padded input, manual DMA
             pl.BlockSpec(
                 (3, 3, cin, co), lambda b, ico, ih: (0, 0, 0, ico),
                 memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, co), lambda b, ico, ih: (0, ico), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -135,10 +139,7 @@ def _conv3x3_call(x, w, bias, act, ht, co):
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=flags.FLAGS.pallas_interpret,
-    )(xp, w)
-    if bias is not None:
-        out = out + bias.astype(out.dtype)
-    return out
+    )(xp, w, bias)
 
 
 def conv3x3(
@@ -147,14 +148,18 @@ def conv3x3(
     bias: Optional[jax.Array] = None,
     act: Optional[str] = None,
 ) -> jax.Array:
-    """3x3 SAME conv, NHWC x [B,H,W,Cin], w [3,3,Cin,Cout] (+fused SiLU).
+    """3x3 SAME conv, NHWC x [B,H,W,Cin], w [3,3,Cin,Cout].
 
-    Note: when ``act`` is set, bias must be None (activation applies before
-    bias would — pass bias folded into the activation path via caller).
+    Bias and the optional SiLU are fused into the kernel epilogue
+    (bias add first, then activation — standard conv+bias+act order).
     """
     assert supports(x.shape, w.shape), "check supports() before dispatch"
-    if act is not None:
-        assert bias is None, "fused act applies pre-bias; fold bias first"
     b, h, width, cin = x.shape
-    ht, co = _pick_tiles(h, width, cin, w.shape[-1], x.dtype.itemsize)
-    return _conv3x3_call(x, w, bias, act, ht, co)
+    cout = w.shape[-1]
+    ht, co = _pick_tiles(h, width, cin, cout, x.dtype.itemsize)
+    bf = (
+        jnp.zeros((1, cout), jnp.float32)
+        if bias is None
+        else bias.astype(jnp.float32).reshape(1, cout)
+    )
+    return _conv3x3_call(x, w, bf, act, ht, co)

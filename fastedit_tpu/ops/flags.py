@@ -21,6 +21,7 @@ import jax
 class KernelFlags:
     use_pallas_attention: bool | None = None  # None = auto (TPU yes, CPU no)
     use_pallas_groupnorm: bool | None = None
+    use_pallas_conv: bool | None = None  # None = auto (TPU yes, CPU no)
     pallas_interpret: bool = False  # run Pallas kernels interpreted (debug/CPU)
 
 
@@ -38,6 +39,13 @@ def use_pallas_attention() -> bool:
     if FLAGS.use_pallas_attention is None:
         return _on_tpu()
     return FLAGS.use_pallas_attention
+
+
+def use_pallas_conv() -> bool:
+    if FLAGS.use_pallas_conv is None:
+        # 1.05-1.65x XLA across pipeline shapes (bench_conv.py conv mode).
+        return _on_tpu()
+    return FLAGS.use_pallas_conv
 
 
 def use_pallas_groupnorm() -> bool:

@@ -140,7 +140,35 @@ class FastEditor:
         self.mesh = None  # set by enable_data_parallel()
         self._rebuild_stages()
         self._prompt_cache: dict = {}
+        # Device-resident constant caches: schedules, time_ids and flag
+        # scalars are tiny, but each fresh upload is a host->device round
+        # trip (tens of ms through the axon relay) paid per edit otherwise.
+        self._schedule_cache: dict = {}
+        self._const_cache: dict = {}
         log.info("Initialization complete")
+
+    def _cached_schedule(self, num_inference_steps: int, strength: float):
+        key = (num_inference_steps, float(strength))
+        if key not in self._schedule_cache:
+            self._schedule_cache[key] = make_schedule(
+                self.scheduler_config, num_inference_steps, strength=strength
+            )
+            while len(self._schedule_cache) > 64:
+                self._schedule_cache.pop(next(iter(self._schedule_cache)))
+        return self._schedule_cache[key]
+
+    def _cached_const(self, kind: str, *args):
+        key = (kind, *args)
+        if key not in self._const_cache:
+            if kind == "f32":
+                self._const_cache[key] = jnp.float32(args[0])
+            elif kind == "time_ids":
+                self._const_cache[key] = stages.make_sdxl_time_ids(*args)
+            else:
+                raise KeyError(kind)
+            while len(self._const_cache) > 256:
+                self._const_cache.pop(next(iter(self._const_cache)))
+        return self._const_cache[key]
 
     def _rebuild_stages(self):
         self._encode_prompt = stages.make_encode_prompt(self.modules)
@@ -450,15 +478,13 @@ class FastEditor:
             )
         else:
             context, pooled = ctx_c, pooled_c
-        time_ids = stages.make_sdxl_time_ids(context.shape[0], r)
+        time_ids = self._cached_const("time_ids", context.shape[0], r)
 
         if seed is None:
             seed = int.from_bytes(os.urandom(4), "little")
         key = jax.random.PRNGKey(seed)
 
-        schedule = make_schedule(
-            self.scheduler_config, num_inference_steps, strength=strength
-        )
+        schedule = self._cached_schedule(num_inference_steps, strength)
 
         inputs = jnp.asarray(img_u8)
         if self.mesh is not None:
@@ -471,14 +497,14 @@ class FastEditor:
 
         out = self._edit_core(
             inputs,
-            jnp.float32(canny_low_threshold),
-            jnp.float32(canny_high_threshold),
+            self._cached_const("f32", float(canny_low_threshold)),
+            self._cached_const("f32", float(canny_high_threshold)),
             context,
             pooled,
             time_ids,
             schedule,
-            jnp.float32(guidance_scale),
-            jnp.float32(controlnet_conditioning_scale),
+            self._cached_const("f32", float(guidance_scale)),
+            self._cached_const("f32", float(controlnet_conditioning_scale)),
             key,
             do_cfg=do_cfg,
             tile_noise=tile_noise,
@@ -527,6 +553,8 @@ class FastEditor:
     def clear_memory(self):
         """Drop cached prompt embeddings (device weights stay resident)."""
         self._prompt_cache.clear()
+        self._schedule_cache.clear()
+        self._const_cache.clear()
 
     def get_memory_usage(self):
         """Device memory stats (replaces torch.cuda.memory_allocated at
