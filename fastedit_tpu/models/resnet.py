@@ -16,10 +16,10 @@ from fastedit_tpu.ops.conv import conv3x3_same
 class Conv3x3(nn.Module):
     """3x3 stride-1 SAME conv with nn.Conv-compatible params ("kernel" of
     [3, 3, Cin, Cout] HWIO + "bias"), dispatched through
-    ``ops.conv.conv3x3_same``: Pallas shift-and-matmul kernel on TPU for
-    the shapes it serves (1.05-1.65x XLA, bench_conv.py), XLA otherwise.
-    Checkpoint converters and param trees are unaffected — the param names
-    and shapes match nn.Conv exactly."""
+    ``ops.conv.conv3x3_same``: opt-in Pallas shift-and-matmul kernel
+    (flags.use_pallas_conv; see ops/conv.py for why it is off by
+    default), XLA otherwise.  Checkpoint converters and param trees are
+    unaffected — the param names and shapes match nn.Conv exactly."""
 
     features: int
     kernel_init: Any = nn.initializers.lecun_normal()

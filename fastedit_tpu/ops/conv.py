@@ -1,11 +1,16 @@
-"""Dispatching 3x3 SAME stride-1 conv: Pallas kernel on TPU, XLA elsewhere.
+"""Dispatching 3x3 SAME stride-1 conv: opt-in Pallas kernel, XLA default.
 
-The Pallas shift-and-matmul kernel (ops/conv3x3.py) measures 1.05-1.65x
-XLA's conv lowering across the pipeline shapes on v5e (bench_conv.py,
-fori-loop timing; biggest wins at the VAE decoder's large-spatial layers:
-1.45x at 512²x256, 1.65x at 1024²x128).  Shapes the kernel doesn't serve
-(channels not divisible by 128, tiny smoke models, CPU) fall back to the
-XLA reference with identical semantics.
+The Pallas shift-and-matmul kernel (ops/conv3x3.py) measures 1.05-1.80x
+XLA's conv lowering *standalone* across the pipeline shapes on v5e
+(bench_conv.py, fori-loop timing; biggest wins at the VAE decoder's
+large-spatial layers).  In context the margin evaporates: XLA fuses the
+preceding GroupNorm+SiLU apply into its own conv, so the resnet
+double-conv chain measures 1.00-1.04x and the full VAE decoder 1.9x
+SLOWER with the kernel on (244 vs 127 ms; end-to-end 0.86 vs 0.73
+s/edit).  Hence default-off (ops.flags honest-flag policy); shapes the
+kernel doesn't serve (channels not divisible by 128, VMEM-oversized
+tiles, tiny smoke models, CPU) always take the XLA path with identical
+semantics.
 """
 
 from __future__ import annotations

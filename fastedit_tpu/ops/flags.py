@@ -43,8 +43,14 @@ def use_pallas_attention() -> bool:
 
 def use_pallas_conv() -> bool:
     if FLAGS.use_pallas_conv is None:
-        # 1.05-1.65x XLA across pipeline shapes (bench_conv.py conv mode).
-        return _on_tpu()
+        # Off by default (honest-flag policy).  Standalone the kernel beats
+        # XLA 1.05-1.80x (bench_conv.py), but in-context it is 1.00-1.04x
+        # at the resnet GN+SiLU+conv chains (XLA fuses the GN apply into
+        # its conv and the margin evaporates) and the full VAE decoder
+        # measures 1.9x SLOWER with it on (244 vs 127 ms) — end-to-end A/B:
+        # 0.86 vs 0.73 s/edit.  Keep opt-in until the GN+SiLU prologue is
+        # fused into the kernel's input read.
+        return False
     return FLAGS.use_pallas_conv
 
 

@@ -172,3 +172,17 @@ def test_batched_prompt_encoding_dispatch_count(editor):
         assert calls == []
     finally:
         editor._encode_prompt = orig
+
+
+def test_device_constant_caches(editor):
+    """Repeat edits reuse device-resident schedule/scalar constants instead
+    of re-uploading them (each fresh upload is a host->device round trip)."""
+    editor.clear_memory()
+    editor.edit(_img(), "a red bicycle", seed=0)
+    sched1 = editor._cached_schedule(4, 0.8)
+    g1 = editor._cached_const("f32", 1.5)
+    editor.edit(_img(1), "a blue car", seed=1)
+    assert editor._cached_schedule(4, 0.8) is sched1
+    assert editor._cached_const("f32", 1.5) is g1
+    editor.clear_memory()
+    assert editor._cached_schedule(4, 0.8) is not sched1
