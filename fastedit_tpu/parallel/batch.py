@@ -46,7 +46,26 @@ def run_batch_data_parallel(args, editor, selected: List[Tuple[str, dict]],
 
     processed = 0
     total_time = 0.0
+    t_sweep = time.time()
     pbar = tqdm(total=len(work), desc=f"Editing (DP x{chunk_size})")
+    pending = None  # (chunk, real, PendingEdit) — lag-1 software pipeline
+
+    def finalize(p) -> int:
+        """Materialize a finished chunk's images and save them."""
+        nonlocal processed, failed
+        chunk, real, handle = p
+        try:
+            edited = handle.result()
+            for (image_id, entry, _, output_path), img in zip(chunk, edited[:real]):
+                os.makedirs(os.path.dirname(output_path), exist_ok=True)
+                img.save(output_path)
+                processed += 1
+        except Exception as e:  # chunk-level isolation
+            print(f"\nError processing chunk {chunk[0][0]}.. "
+                  f"({type(e).__name__}): {e}")
+            failed += real
+        return real
+
     for start in range(0, len(work), chunk_size):
         chunk = work[start : start + chunk_size]
         real = len(chunk)
@@ -54,8 +73,8 @@ def run_batch_data_parallel(args, editor, selected: List[Tuple[str, dict]],
         try:
             images = [Image.open(p).convert("RGB") for _, _, p, _ in padded]
             prompts = [e["editing_prompt"] for _, e, _, _ in padded]
-            t0 = time.time()
-            edited = editor.edit_batch(
+            # Dispatch chunk i (upload + device program + async readback) ...
+            handle = editor.edit_batch_async(
                 images,
                 prompts,
                 negative_prompt=args.negative_prompt,
@@ -67,15 +86,19 @@ def run_batch_data_parallel(args, editor, selected: List[Tuple[str, dict]],
                 canny_high_threshold=args.canny_high,
                 seed=args.seed,
             )
-            total_time += time.time() - t0
-            for (image_id, entry, _, output_path), img in zip(chunk, edited[:real]):
-                os.makedirs(os.path.dirname(output_path), exist_ok=True)
-                img.save(output_path)
-                processed += 1
-        except Exception as e:  # chunk-level isolation
-            print(f"\nError processing chunk at {start} ({type(e).__name__}): {e}")
+        except Exception as e:  # dispatch-side isolation (bad file etc.)
+            print(f"\nError dispatching chunk at {start} ({type(e).__name__}): {e}")
             failed += real
-        pbar.update(real)
+            pbar.update(real)
+            continue
+        # ... then block on chunk i-1: its device->host copy streamed while
+        # chunk i was uploading/computing.
+        if pending is not None:
+            pbar.update(finalize(pending))
+        pending = (chunk, real, handle)
+    if pending is not None:
+        pbar.update(finalize(pending))
+    total_time = time.time() - t_sweep
     pbar.close()
 
     print(f"\n{'='*60}\nBATCH PROCESSING SUMMARY (data-parallel)\n{'='*60}")
@@ -85,7 +108,7 @@ def run_batch_data_parallel(args, editor, selected: List[Tuple[str, dict]],
     if processed:
         print(f"\nThroughput: {processed / total_time:.2f} images/s "
               f"({total_time / processed:.2f}s/image amortized)")
-        print(f"Total edit time: {total_time:.2f}s")
+        print(f"Sweep wall time (pipelined load/edit/readback): {total_time:.2f}s")
     print(f"\nOutputs saved to:\n  - Edited images: {edited_dir}")
     print(f"{'='*60}")
     return 0

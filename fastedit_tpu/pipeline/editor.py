@@ -63,6 +63,26 @@ def _normalize_dtype(dtype):
     return mapping[name]
 
 
+class PendingEdit:
+    """Handle to an in-flight edit: device program dispatched, device->host
+    copy started, nothing blocked yet.  ``result()`` materializes the PIL
+    images.  Lets a sweep overlap chunk i's readback with chunk i+1's
+    upload and compute (both directions of host<->device traffic are
+    otherwise dead time on the edit's critical path)."""
+
+    def __init__(self, out_dev, n: int):
+        self._out = out_dev
+        self._n = n
+        try:
+            out_dev.copy_to_host_async()
+        except Exception:  # pragma: no cover - backend without async copy
+            pass
+
+    def result(self):
+        out = np.asarray(self._out)
+        return [Image.fromarray(out[i]) for i in range(self._n)]
+
+
 class FastEditor:
     """Fast image editor: SDXL/SSD-1B + LCM + ControlNet-Canny on TPU."""
 
@@ -445,15 +465,25 @@ class FastEditor:
         canny_high_threshold,
         seed,
         tile_noise: bool,
+        async_result: bool = False,
     ):
         """Shared single/batch path: one uint8 upload, one device program
         (prepare -> VAE encode -> denoise loop -> decode), one uint8
-        readback."""
+        readback.  With ``async_result`` the readback is NOT forced: a
+        ``PendingEdit`` is returned so callers can overlap the
+        device->host copy with the next chunk's upload/compute."""
         b = len(images)
         r = self.resolution
         img_u8 = np.stack(
             [np.asarray(resize(im.convert("RGB"), r), dtype=np.uint8) for im in images]
         )
+        inputs = None
+        if self.mesh is None:
+            # Start the uint8 upload NOW: device_put is async, so the
+            # host->device transfer (the single largest fixed cost per edit
+            # through a remote relay) overlaps the prompt tokenize+encode
+            # below.  Under DP the upload happens at the shard point instead.
+            inputs = jnp.asarray(img_u8)
 
         do_cfg = guidance_scale > 1.0
         # one text-encoder dispatch for every novel prompt in the chunk
@@ -486,13 +516,12 @@ class FastEditor:
 
         schedule = self._cached_schedule(num_inference_steps, strength)
 
-        inputs = jnp.asarray(img_u8)
         if self.mesh is not None:
             from fastedit_tpu.parallel import mesh as mesh_lib
 
             inputs, context, pooled, time_ids = (
                 mesh_lib.shard_batch(x, self.mesh)
-                for x in (inputs, context, pooled, time_ids)
+                for x in (jnp.asarray(img_u8), context, pooled, time_ids)
             )
 
         out = self._edit_core(
@@ -509,8 +538,9 @@ class FastEditor:
             do_cfg=do_cfg,
             tile_noise=tile_noise,
         )
-        out = np.asarray(out)
-        return [Image.fromarray(out[i]) for i in range(b)]
+        if async_result:
+            return PendingEdit(out, b)
+        return PendingEdit(out, b).result()
 
     def edit_batch(
         self,
@@ -546,6 +576,28 @@ class FastEditor:
             canny_high_threshold,
             seed,
             tile_noise=seed is not None,
+        )
+
+    def edit_batch_async(self, images: list, prompts: list, **kw) -> PendingEdit:
+        """Like ``edit_batch`` but returns a :class:`PendingEdit` without
+        forcing the device->host readback.  Sweeps dispatch chunk i+1 while
+        chunk i's images stream back (see parallel/batch.py)."""
+        assert len(images) == len(prompts) and images
+        seed = kw.pop("seed", None)
+        return self._run_edit_core(
+            images,
+            prompts,
+            kw.pop("negative_prompt", ""),
+            kw.pop("strength", 0.80),
+            kw.pop("num_inference_steps", 4),
+            kw.pop("guidance_scale", 1.5),
+            kw.pop("controlnet_conditioning_scale", 0.5),
+            kw.pop("canny_low_threshold", 100),
+            kw.pop("canny_high_threshold", 200),
+            seed,
+            tile_noise=seed is not None,
+            async_result=True,
+            **kw,
         )
 
     # ----------------------------------------------------------------- misc

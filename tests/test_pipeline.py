@@ -186,3 +186,15 @@ def test_device_constant_caches(editor):
     assert editor._cached_const("f32", 1.5) is g1
     editor.clear_memory()
     assert editor._cached_schedule(4, 0.8) is not sched1
+
+
+def test_edit_batch_async_matches_sync(editor):
+    """edit_batch_async + result() reproduces edit_batch exactly (same
+    program, deferred readback)."""
+    imgs = [_img(10), _img(11)]
+    prompts = ["a red bicycle", "a blue car"]
+    ref = editor.edit_batch(imgs, prompts, seed=9)
+    handle = editor.edit_batch_async(imgs, prompts, seed=9)
+    out = handle.result()
+    for a, b in zip(ref, out):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
