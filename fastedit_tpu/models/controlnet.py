@@ -74,6 +74,7 @@ class ControlNetModel(nn.Module):
         time_ids: jax.Array,
         controlnet_cond: jax.Array,
         conditioning_scale: jax.Array | float = 1.0,
+        cond_pre_embedded: bool = False,
     ):
         cfg = self.config.unet
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
@@ -89,12 +90,19 @@ class ControlNetModel(nn.Module):
         x = conv(cfg.block_out_channels[0], 3, name="conv_in")(
             latents.astype(self.dtype)
         )
-        x = x + ConditioningEmbedding(
-            channels=self.config.conditioning_embedding_channels,
-            out_channels=cfg.block_out_channels[0],
-            name="controlnet_cond_embedding",
-            **kw,
-        )(controlnet_cond.astype(self.dtype))
+        if cond_pre_embedded:
+            # Caller ran the cond tower already (it is timestep- and
+            # CFG-half-invariant, so the denoise loop hoists it — see
+            # pipeline/stages.py); ``controlnet_cond`` here is the
+            # latent-resolution feature map, not the pixel image.
+            x = x + controlnet_cond.astype(self.dtype)
+        else:
+            x = x + ConditioningEmbedding(
+                channels=self.config.conditioning_embedding_channels,
+                out_channels=cfg.block_out_channels[0],
+                name="controlnet_cond_embedding",
+                **kw,
+            )(controlnet_cond.astype(self.dtype))
 
         skips = [x]
         n_blocks = len(cfg.block_out_channels)

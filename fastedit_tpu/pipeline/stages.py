@@ -162,7 +162,16 @@ def _vae_decode_fn(mod: PipelineModules):
 
 
 def _denoise_fn(mod: PipelineModules):
+    from fastedit_tpu.models.controlnet import ConditioningEmbedding
+
     unet, controlnet = mod.unet, mod.controlnet
+    cn_cfg = controlnet.config
+    cond_embedder = ConditioningEmbedding(
+        channels=cn_cfg.conditioning_embedding_channels,
+        out_channels=cn_cfg.unet.block_out_channels[0],
+        dtype=controlnet.dtype,
+        param_dtype=controlnet.param_dtype,
+    )
 
     def denoise(
         params,
@@ -188,9 +197,15 @@ def _denoise_fn(mod: PipelineModules):
         # (uncond, cond) rows stay on one device, so the guidance combine is
         # communication-free (a concat/split layout would shuffle the full
         # activations over ICI every step).
-        cond_in = (
-            jnp.repeat(control_image, 2, axis=0) if do_cfg else control_image
+        # The Canny cond tower (pixel image -> latent-resolution features)
+        # is timestep- AND CFG-half-invariant: run it ONCE at batch B here
+        # instead of at batch 2B inside every loop step (a 6x reduction of
+        # that tower's cost under CFG with 3 executed steps).
+        cond_feat = cond_embedder.apply(
+            {"params": params["controlnet"]["controlnet_cond_embedding"]},
+            control_image.astype(controlnet.dtype),
         )
+        cond_in = jnp.repeat(cond_feat, 2, axis=0) if do_cfg else cond_feat
 
         def draw_noise(k):
             if tile_noise:
@@ -216,6 +231,7 @@ def _denoise_fn(mod: PipelineModules):
                 time_ids,
                 cond_in,
                 controlnet_scale,
+                cond_pre_embedded=True,
             )
             eps = unet.apply(
                 {"params": params["unet"]},
