@@ -45,11 +45,10 @@ def use_pallas_conv() -> bool:
     if FLAGS.use_pallas_conv is None:
         # Off by default (honest-flag policy).  Standalone the kernel beats
         # XLA 1.05-1.80x (bench_conv.py), but in-context it is 1.00-1.04x
-        # at the resnet GN+SiLU+conv chains (XLA fuses the GN apply into
-        # its conv and the margin evaporates) and the full VAE decoder
-        # measures 1.9x SLOWER with it on (244 vs 127 ms) — end-to-end A/B:
-        # 0.86 vs 0.73 s/edit.  Keep opt-in until the GN+SiLU prologue is
-        # fused into the kernel's input read.
+        # at the resnet GN+SiLU+conv chains and uniformly slower in the
+        # one-shot VAE decoder program (custom-call boundary: layout
+        # copies + lost fusion/overlap; spatial bisect in
+        # IMPLEMENTATION.md).  End-to-end A/B: 0.86 vs 0.73 s/edit.
         return False
     return FLAGS.use_pallas_conv
 
