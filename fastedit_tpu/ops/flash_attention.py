@@ -128,8 +128,14 @@ def _flash_bhsd(
 def _pick_blocks(sq: int, skv: int, d: int) -> Optional[tuple[int, int]]:
     """Choose (block_q, block_kv) dividing the sequence lengths, VMEM-sized."""
     # Budget ~6 MB of VMEM for blocks at d<=512.  Sweep on v5e (seq 4096,
-    # d 64): bq 512 / bkv 2048 is fastest (23.2 TF/s vs 21.9 at bkv 1024;
-    # bq 1024 collapses to 11.9).
+    # d 64): bq 512 / bkv 2048 is fastest — 37.6-40.3 TF/s with fori-loop
+    # timing (earlier 23.2 figure was inflated by relay sync overhead);
+    # bq 1024 collapses.  Variant sweep at this config: exp2 / bf16-exp
+    # are neutral; deleting the whole running-max machinery (unsafe)
+    # bounds the softmax overhead at ~13%; fusing the row-sum into the PV
+    # matmul via a ones-column on V gains only ~3% (within run-to-run
+    # noise) — the kernel is near its practical D=64 ceiling, so those
+    # variants are not shipped.
     bq_candidates = (512, 256, 128)
     bkv_candidates = (2048, 1024, 512, 256, 128)
     bq = next((b for b in bq_candidates if sq % b == 0 and b <= sq), None)
