@@ -131,22 +131,36 @@ class MetricsCalculator:
                 vocab_size=clip_text_cfg.vocab_size
             )
 
-        self._jit_ssim = jax.jit(F.ssim)
-        self._jit_psnr = jax.jit(F.psnr)
-        self._jit_mse = jax.jit(F.mse)
-        self._jit_lpips = jax.jit(
+        def jit_f32(fn):
+            """jit with true-f32 matmuls/convs: XLA:TPU lowers f32 dots to
+            bf16 passes by default, which is fine for generation but NOT
+            for metrics — SSIM's variance terms cancel catastrophically
+            (metrics/functional.py blur note) and the learned backbones
+            (LPIPS/CLIP/DINO) are parity-compared against fp32 torch
+            references at 3-4 decimals."""
+
+            def traced(*args, **kw):
+                with jax.default_matmul_precision("highest"):
+                    return fn(*args, **kw)
+
+            return jax.jit(traced)
+
+        self._jit_ssim = jit_f32(F.ssim)
+        self._jit_psnr = jit_f32(F.psnr)
+        self._jit_mse = jit_f32(F.mse)
+        self._jit_lpips = jit_f32(
             lambda p, a, b: self.lpips.apply({"params": p}, a, b)
         )
-        self._jit_clip = jax.jit(self._clip_score_impl)
-        self._jit_dino = jax.jit(self._dino_impl)
+        self._jit_clip = jit_f32(self._clip_score_impl)
+        self._jit_dino = jit_f32(self._dino_impl)
         # per-image batched variants (evaluate.py --batch_size)
-        self._jit_ssim_b = jax.jit(
+        self._jit_ssim_b = jit_f32(
             jax.vmap(lambda a, b: F.ssim(a[None], b[None]))
         )
-        self._jit_psnr_b = jax.jit(
+        self._jit_psnr_b = jit_f32(
             jax.vmap(lambda a, b: F.psnr(a[None], b[None]))
         )
-        self._jit_mse_b = jax.jit(jax.vmap(lambda a, b: F.mse(a[None], b[None])))
+        self._jit_mse_b = jit_f32(jax.vmap(lambda a, b: F.mse(a[None], b[None])))
         print("[MetricsCalculator] Initialization complete!")
 
     # ----------------------------------------------------------- conversion

@@ -45,12 +45,19 @@ def ssim(
     win = jnp.asarray(_gaussian_kernel(kernel_size, sigma))
 
     def blur(t: jax.Array) -> jax.Array:
-        # separable depthwise conv, VALID padding
+        # separable depthwise conv, VALID padding.  Precision HIGHEST is
+        # load-bearing on TPU: XLA lowers f32 convs to bf16 passes by
+        # default, which costs ~3 decimal digits in the gaussian moments —
+        # sigma = E[x^2] - mu^2 then cancels catastrophically and the SSIM
+        # denominator goes singular (observed SSIM ~12.8 on a real image
+        # pair vs 0.457 in true f32; CPU is unaffected, so CPU-only golden
+        # tests cannot catch it).
         t = jnp.moveaxis(t, -1, 1).reshape(b * t.shape[-1], 1, h, w)
         kh = win.reshape(1, 1, kernel_size, 1)
         kw = win.reshape(1, 1, 1, kernel_size)
-        t = jax.lax.conv_general_dilated(t, kh, (1, 1), "VALID")
-        t = jax.lax.conv_general_dilated(t, kw, (1, 1), "VALID")
+        hi = jax.lax.Precision.HIGHEST
+        t = jax.lax.conv_general_dilated(t, kh, (1, 1), "VALID", precision=hi)
+        t = jax.lax.conv_general_dilated(t, kw, (1, 1), "VALID", precision=hi)
         hh, ww = t.shape[-2:]
         return jnp.moveaxis(t.reshape(b, c, hh, ww), 1, -1)
 

@@ -513,6 +513,10 @@ class FastEditor:
         if seed is None:
             seed = int.from_bytes(os.urandom(4), "little")
         key = jax.random.PRNGKey(seed)
+        # At batch 1 the tiled and untiled noise draws are identical
+        # (same key, same shape); folding them avoids compiling a second
+        # edit_core variant when a sweep runs single-image chunks.
+        tile_noise = tile_noise and b > 1
 
         schedule = self._cached_schedule(num_inference_steps, strength)
 

@@ -107,7 +107,30 @@ def main(argv=None):
         return run_batch_data_parallel(args, editor, selected, edited_dir)
 
     processed = skipped = failed = 0
-    total_time = 0.0
+    t_sweep = time.time()
+    # Lag-1 software pipeline (same shape as parallel/batch.py): image i's
+    # device->host readback streams while image i+1 loads and computes.
+    pending = None  # (image_id, rel_path, source_img, output_path, prompt, handle)
+
+    def finalize(p):
+        nonlocal processed, failed
+        image_id, rel_path, source_img, output_path, prompt, handle = p
+        try:
+            edited_img = handle.result()[0]
+            edited_img.save(output_path)
+            processed += 1
+            if args.save_comparisons:
+                cmp_path = os.path.join(
+                    comparisons_dir, rel_path.replace(".jpg", ".png")
+                )
+                os.makedirs(os.path.dirname(cmp_path), exist_ok=True)
+                harness.save_comparison(
+                    cmp_path, source_img, edited_img, args.model, prompt
+                )
+        except Exception as e:  # keep the sweep alive (reference behavior)
+            print(f"\n      Error processing {image_id} ({type(e).__name__}): {e}")
+            failed += 1
+
     for image_id, entry in tqdm(selected, desc="Editing"):
         try:
             source_path = harness.safe_join(args.source_dir, entry["image_path"])
@@ -125,10 +148,9 @@ def main(argv=None):
             os.makedirs(os.path.dirname(output_path), exist_ok=True)
             source_img = Image.open(source_path).convert("RGB")
 
-            t0 = time.time()
-            edited_img = editor.edit(
-                image=source_img,
-                prompt=prompt,
+            handle = editor.edit_batch_async(
+                [source_img],
+                [prompt],
                 negative_prompt=args.negative_prompt,
                 strength=args.strength,
                 num_inference_steps=args.steps,
@@ -138,33 +160,34 @@ def main(argv=None):
                 canny_high_threshold=args.canny_high,
                 seed=args.seed,
             )
-            total_time += time.time() - t0
-            edited_img.save(output_path)
-            processed += 1
-
-            if args.save_comparisons:
-                cmp_path = os.path.join(
-                    comparisons_dir, entry["image_path"].replace(".jpg", ".png")
-                )
-                harness.save_comparison(
-                    cmp_path, source_img, edited_img, args.model, prompt
-                )
         except ValueError as e:
             print(f"\n      Invalid path for {image_id}: {e}")
             failed += 1
+            continue
         except FileNotFoundError as e:
             print(f"\n      File not found for {image_id}: {e}")
             failed += 1
-        except Exception as e:  # keep the sweep alive (reference behavior)
-            print(f"\n      Error processing {image_id} ({type(e).__name__}): {e}")
+            continue
+        except Exception as e:
+            print(f"\n      Error dispatching {image_id} ({type(e).__name__}): {e}")
             failed += 1
+            continue
+        if pending is not None:
+            finalize(pending)
+        pending = (
+            image_id, entry["image_path"], source_img, output_path, prompt, handle
+        )
+    if pending is not None:
+        finalize(pending)
+    total_time = time.time() - t_sweep
 
     print(f"\n{'='*60}\nBATCH PROCESSING SUMMARY\n{'='*60}")
     print(f"\nProcessed:  {processed} images")
     print(f"Skipped:    {skipped} images")
     print(f"Failed:     {failed} images")
     if processed:
-        print(f"\nAverage time per image: {total_time / processed:.2f}s")
+        print(f"\nAverage time per image: {total_time / processed:.2f}s "
+              f"(pipelined load/edit/readback, amortized)")
         print(f"Total time: {total_time:.2f}s ({total_time / 60:.1f} minutes)")
     print(f"\nOutputs saved to:\n  - Edited images: {edited_dir}")
     if args.save_comparisons:

@@ -56,7 +56,7 @@ def main(argv=None):
         args.full_precision = True
         args.full_controlnet = True
         args.no_cpu_offload = True
-        print("[Quality Mode] Enabled: fp32 + full ControlNet")
+        print("quality mode: fp32 weights + full-size ControlNet")
 
     if not os.path.exists(args.image):
         print(f"Error: Image not found at {args.image}")
@@ -71,11 +71,11 @@ def main(argv=None):
     os.makedirs(edited_dir, exist_ok=True)
     os.makedirs(comparisons_dir, exist_ok=True)
 
-    print(f"\n[1/4] Loading image from {args.image}")
+    print(f"\n[load]    {args.image}")
     source_img = Image.open(args.image).convert("RGB")
-    print(f"      Image size: {source_img.size}")
+    print(f"          {source_img.size[0]}x{source_img.size[1]} px")
 
-    print("\n[2/4] Initializing FastEditor...")
+    print("\n[init]    building FastEditor (first compile is the slow part)")
     editor = FastEditor(
         model_name=args.model,
         use_full_precision=args.full_precision,
@@ -84,15 +84,14 @@ def main(argv=None):
     )
     mem = editor.get_memory_usage()
     print(
-        f"      Device memory: {mem['allocated_gb']:.2f}GB in use / "
-        f"{mem['reserved_gb']:.2f}GB limit"
+        f"          HBM {mem['allocated_gb']:.2f} GB in use of "
+        f"{mem['reserved_gb']:.2f} GB"
     )
 
-    print("\n[3/4] Running image editing...")
-    print(f"      Prompt: {args.prompt}")
+    print("\n[edit]    " + args.prompt)
     print(
-        f"      Steps: {args.steps}, Guidance: {args.guidance}, "
-        f"Control Scale: {args.control_scale}, Strength: {args.strength}"
+        f"          steps={args.steps} guidance={args.guidance} "
+        f"control={args.control_scale} strength={args.strength}"
     )
     if args.debug_nans:
         from fastedit_tpu.utils.profiling import enable_nan_checks
@@ -121,57 +120,54 @@ def main(argv=None):
         with trace(args.profile):
             edited_img = run_edit()
         elapsed = time.time() - t0
-        print(f"      Profiler trace written to {args.profile}")
+        print(f"          profiler trace -> {args.profile}")
     else:
         t0 = time.time()
         edited_img = run_edit()
         elapsed = time.time() - t0
-    print(f"      Editing completed in {elapsed:.2f} seconds (incl. compile on first run)")
+    print(f"          done in {elapsed:.2f} s (includes compile on a cold cache)")
     mem = editor.get_memory_usage()
     print(
-        f"      Device memory: {mem['allocated_gb']:.2f}GB in use / "
-        f"{mem['reserved_gb']:.2f}GB limit"
+        f"          HBM {mem['allocated_gb']:.2f} GB in use of "
+        f"{mem['reserved_gb']:.2f} GB"
     )
 
     timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
     output_path = os.path.join(edited_dir, f"edited_{timestamp}.jpg")
     edited_img.save(output_path)
-    print(f"\n      Saved edited image to: {output_path}")
+    print(f"\n[save]    {output_path}")
 
     if args.compute_metrics:
-        print("\n[4/4] Computing metrics...")
+        print("\n[metrics]")
         from fastedit_tpu import MetricsCalculator
 
         calc = MetricsCalculator(tiny=args.model == "tiny")
         metrics = calc.calculate_all_metrics(source_img, edited_img, args.prompt)
-        print("\n      Metrics:")
-        print(f"        SSIM (structure preservation):  {metrics['ssim']:.4f}")
-        print(f"        LPIPS (perceptual distance):    {metrics['lpips']:.4f}")
-        print(f"        PSNR (signal quality):          {metrics['psnr']:.2f} dB")
-        print(f"        MSE (pixel difference):         {metrics['mse']:.6f}")
-        print(f"        CLIP Score (text alignment):    {metrics['clip_score']:.2f}")
-        print(f"        DINO distance (structure):      {metrics['dino_distance']:.4f}")
+        for label, key, fmt in (
+            ("ssim", "ssim", ".4f"),
+            ("lpips", "lpips", ".4f"),
+            ("psnr", "psnr", ".2f"),
+            ("mse", "mse", ".6f"),
+            ("clip_score", "clip_score", ".2f"),
+            ("dino_distance", "dino_distance", ".4f"),
+        ):
+            print(f"          {label:14s}{metrics[key]:{fmt}}")
 
         metrics_path = os.path.join(edited_dir, f"metrics_{timestamp}.txt")
         with open(metrics_path, "w") as f:
-            f.write(f"Image: {args.image}\n")
-            f.write(f"Prompt: {args.prompt}\n")
-            f.write(f"Model: {args.model}\n")
-            f.write(f"Time: {elapsed:.2f}s\n\nMetrics:\n")
-            f.write(f"  SSIM:       {metrics['ssim']:.4f}\n")
-            f.write(f"  LPIPS:      {metrics['lpips']:.4f}\n")
-            f.write(f"  PSNR:       {metrics['psnr']:.2f} dB\n")
-            f.write(f"  MSE:        {metrics['mse']:.6f}\n")
-            f.write(f"  CLIP Score: {metrics['clip_score']:.2f}\n")
-            f.write(f"  DINO dist.: {metrics['dino_distance']:.4f}\n")
-        print(f"      Saved metrics to: {metrics_path}")
+            f.write(f"image: {args.image}\nprompt: {args.prompt}\n")
+            f.write(f"model: {args.model}\nedit_seconds: {elapsed:.2f}\n")
+            for k in ("ssim", "lpips", "psnr", "mse", "clip_score",
+                      "dino_distance"):
+                f.write(f"{k}: {metrics[k]:.6f}\n")
+        print(f"          metrics -> {metrics_path}")
 
     if args.compute_metrics or args.show_plot:
         plot_path = os.path.join(comparisons_dir, f"comparison_{timestamp}.png")
         save_comparison(plot_path, source_img, edited_img, args.model, args.prompt)
-        print(f"      Saved comparison plot to: {plot_path}")
+        print(f"          comparison plot -> {plot_path}")
 
-    print("\nDone!")
+    print("\nfinished.")
     return 0
 
 

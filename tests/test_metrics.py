@@ -133,3 +133,26 @@ def test_fail_closed_without_converted_weights(tmp_path):
             device="cpu", weights_dir=str(tmp_path), allow_random=True
         )
     assert opted.learned_enabled
+
+
+def test_ssim_bounded_on_high_dc_low_variance_pair():
+    """Regression guard for the TPU bf16-conv-lowering bug: on images with
+    a large DC component and small variance, the gaussian-moment
+    cancellation (sigma = E[x^2] - mu^2) went singular when XLA lowered the
+    f32 blur to bf16 passes, producing SSIM values like 12.8.  SSIM is
+    mathematically bounded by 1; assert the bound holds wherever the suite
+    runs (functional.py pins Precision.HIGHEST)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastedit_tpu.metrics import functional as F
+
+    rng = np.random.default_rng(0)
+    x = 0.8 + 0.01 * rng.standard_normal((1, 128, 128, 3))
+    y = x + 0.005 * rng.standard_normal((1, 128, 128, 3))
+    v = float(
+        jax.jit(F.ssim)(
+            jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)
+        )
+    )
+    assert -1.0 <= v <= 1.0001, v
