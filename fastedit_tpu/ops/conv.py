@@ -1,16 +1,27 @@
-"""Dispatching 3x3 SAME stride-1 conv: opt-in Pallas kernel, XLA default.
+"""Dispatching 3x3 SAME stride-1 conv: per-stage Pallas/XLA policy.
 
-The Pallas shift-and-matmul kernel (ops/conv3x3.py) measures 1.05-1.80x
-XLA's conv lowering *standalone* across the pipeline shapes on v5e
-(bench_conv.py, fori-loop timing; biggest wins at the VAE decoder's
-large-spatial layers).  In context the margin evaporates: XLA fuses the
-preceding GroupNorm+SiLU apply into its own conv, so the resnet
-double-conv chain measures 1.00-1.04x and the full VAE decoder 1.9x
-SLOWER with the kernel on (244 vs 127 ms; end-to-end 0.86 vs 0.73
-s/edit).  Hence default-off (ops.flags honest-flag policy); shapes the
-kernel doesn't serve (channels not divisible by 128, VMEM-oversized
-tiles, tiny smoke models, CPU) always take the XLA path with identical
-semantics.
+The Pallas shift-and-matmul kernel (ops/conv3x3.py) is 2-3.5x faster
+than XLA's conv lowering per-op in-graph (profiled 1.6 vs 24 ms at the
+VAE decoder's big layers), but mixing it with XLA convs starts a LAYOUT
+WAR: custom-calls are row-major T(8,128) while XLA convs prefer
+{3,0,2,1:T(2,128)}, and the relayout copies (folded into neighboring
+reduce fusions) dwarf the kernel's win (decoder 241 vs 128 ms with
+partial coverage).  With full shape coverage (13 MB VMEM tile budget +
+small-cout tails) the war inside a region disappears:
+
+  * denoise loop (UNet+ControlNet): Pallas wins, 291.5 vs 303.7 ms for
+    the 3-step CFG denoise -> ON by default on TPU
+    (flags.use_pallas_conv_denoise, applied at trace time by
+    pipeline/stages.py).
+  * one-shot VAE decoder: XLA still wins, 128.6 vs 138.2 ms (the
+    nearest-2x upsamples fuse into XLA's convs but must materialize
+    before a custom-call) -> OFF by default elsewhere
+    (flags.use_pallas_conv).
+
+Conv1x1 (models/resnet.py) follows the same flag so the 1x1 shortcuts
+never fight the surrounding formulation.  Shapes the kernel doesn't
+serve (cin not divisible by 128, VMEM-oversized tiles, tiny smoke
+models, CPU) take the XLA path with identical semantics.
 """
 
 from __future__ import annotations

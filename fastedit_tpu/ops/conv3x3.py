@@ -76,7 +76,18 @@ def _conv_kernel(xp_hbm, w_ref, b_ref, o_ref, xs2, sem2, *, ht, width, act):
 
 
 def _pick_tiles(h: int, w: int, cin: int, cout: int, itemsize: int):
-    """(Ht, Co) fitting a ~10 MB VMEM budget."""
+    """(Ht, Co) fitting a ~13 MB accounted-VMEM budget.
+
+    Mosaic stacks the patch-slice copies on top of the accounted buffers
+    (~2x headroom observed), so the pallas_call raises vmem_limit_bytes to
+    64 MB; v5e has 128 MB of VMEM per core.  The budget is sized so every
+    VAE-decoder conv qualifies — partial coverage is WORSE than none: a
+    mixed pallas/XLA-conv graph puts the custom-calls' row-major T(8,128)
+    layouts at war with XLA's conv-preferred {3,0,2,1:T(2,128)} layouts
+    and the relayout copies (folded into neighboring reduce fusions) cost
+    far more than the kernel saves (profiled: GN-stat fusions 6.9 ->
+    88.9 ms decoder-wide).
+    """
     for co in (256, 128):
         if cout % co:
             continue
@@ -87,10 +98,7 @@ def _pick_tiles(h: int, w: int, cin: int, cout: int, itemsize: int):
             acc_bytes = ht * w * co * 4
             out_bytes = ht * w * co * itemsize
             w_bytes = 9 * cin * co * itemsize
-            # Mosaic stacks the patch-slice copies on top of these; leave
-            # headroom (20 MB scoped-vmem overflow observed at a 10 MB
-            # budget with c=1280).
-            if xs_bytes + acc_bytes + out_bytes + w_bytes <= 7 * 1024 * 1024:
+            if xs_bytes + acc_bytes + out_bytes + w_bytes <= 13 * 1024 * 1024:
                 return ht, co
     return None
 
@@ -102,9 +110,15 @@ def supports(x_shape, w_shape) -> bool:
     kh, kw, wcin, cout = w_shape
     if (kh, kw) != (3, 3) or wcin != cin:
         return False
-    if cin % 128 or cout % 128:
+    if cin % 128:
         return False
-    return _pick_tiles(h, w, cin, cout, 2) is not None
+    # Small output tails (e.g. the VAE's conv_out 128->3) are padded to one
+    # 128-lane tile and sliced after — serving them keeps the whole graph
+    # in the kernel's row-major layout (see _pick_tiles note).
+    cout_eff = cout if cout % 128 == 0 else 128
+    if cout % 128 and cout > 128:
+        return False
+    return _pick_tiles(h, w, cin, cout_eff, 2) is not None
 
 
 @functools.partial(jax.jit, static_argnames=("act", "ht", "co"))
@@ -138,6 +152,7 @@ def _conv3x3_call(x, w, bias, act, ht, co):
             pltpu.VMEM((2, ht + 2, wp, cin), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=flags.FLAGS.pallas_interpret,
     )(xp, w, bias)
 
@@ -156,10 +171,20 @@ def conv3x3(
     assert supports(x.shape, w.shape), "check supports() before dispatch"
     b, h, width, cin = x.shape
     cout = w.shape[-1]
+    cout_pad = 0
+    if cout % 128:  # small tail (conv_out): pad to one lane tile, slice after
+        cout_pad = 128 - cout
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, cout_pad)))
+        if bias is not None:
+            bias = jnp.pad(bias.astype(jnp.float32), (0, cout_pad))
+        cout += cout_pad
     ht, co = _pick_tiles(h, width, cin, cout, x.dtype.itemsize)
     bf = (
         jnp.zeros((1, cout), jnp.float32)
         if bias is None
         else bias.astype(jnp.float32).reshape(1, cout)
     )
-    return _conv3x3_call(x, w, bf, act, ht, co)
+    out = _conv3x3_call(x, w, bf, act, ht, co)
+    if cout_pad:
+        out = out[..., : cout - cout_pad]
+    return out

@@ -42,14 +42,31 @@ def use_pallas_attention() -> bool:
 
 
 def use_pallas_conv() -> bool:
+    """Pallas 3x3 conv outside the denoise loop (VAE & friends).
+
+    Off by default: in the one-shot VAE decoder the kernel's convs are
+    individually 2-3.5x faster than XLA's (profiled 1.6 vs 24 ms at the
+    big layers), but XLA materializes the nearest-2x upsamples and
+    relayouts at the remaining XLA-op boundaries, netting 143 vs 129 ms.
+    Partial coverage is far worse (241 ms): mixed pallas/XLA-conv graphs
+    fight over layouts (row-major T(8,128) vs conv-preferred
+    {3,0,2,1:T(2,128)}) — see _pick_tiles note in ops/conv3x3.py.
+    """
     if FLAGS.use_pallas_conv is None:
-        # Off by default (honest-flag policy).  Standalone the kernel beats
-        # XLA 1.05-1.80x (bench_conv.py), but in-context it is 1.00-1.04x
-        # at the resnet GN+SiLU+conv chains and uniformly slower in the
-        # one-shot VAE decoder program (custom-call boundary: layout
-        # copies + lost fusion/overlap; spatial bisect in
-        # IMPLEMENTATION.md).  End-to-end A/B: 0.86 vs 0.73 s/edit.
         return False
+    return FLAGS.use_pallas_conv
+
+
+def use_pallas_conv_denoise() -> bool:
+    """Pallas 3x3 conv inside the denoise loop (UNet + ControlNet).
+
+    On by default on TPU: with full shape coverage (13 MB VMEM budget)
+    the loop context measures 296.7 vs 303.7 ms for the 3-step CFG
+    denoise — the kernel wins once no XLA conv is left to impose the
+    competing layout.
+    """
+    if FLAGS.use_pallas_conv is None:
+        return _on_tpu()
     return FLAGS.use_pallas_conv
 
 

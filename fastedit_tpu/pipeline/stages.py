@@ -37,6 +37,7 @@ from fastedit_tpu.models.clip import CLIPTextModel
 from fastedit_tpu.models.controlnet import ControlNetModel
 from fastedit_tpu.models.unet import UNet2DConditionModel
 from fastedit_tpu.models.vae import AutoencoderKL
+from fastedit_tpu.ops import flags
 from fastedit_tpu.sched.lcm import LCMSchedule, add_noise, lcm_step
 
 
@@ -192,6 +193,22 @@ def _denoise_fn(mod: PipelineModules):
             assert context.shape[0] == 2 * b, (
                 "CFG expects pair-interleaved [2B] context"
             )
+        # Trace-time dispatch: the Pallas conv wins inside the denoise
+        # loop (flags.use_pallas_conv_denoise) while the VAE stages keep
+        # the XLA conv path — the flag context applies to everything
+        # traced in this function body.
+        with flags.override(use_pallas_conv=flags.use_pallas_conv_denoise()):
+            return _denoise_body(
+                params, latents, context, pooled, time_ids, control_image,
+                schedule, guidance_scale, controlnet_scale, key,
+                do_cfg, tile_noise, b,
+            )
+
+    def _denoise_body(
+        params, latents, context, pooled, time_ids, control_image,
+        schedule, guidance_scale, controlnet_scale, key,
+        do_cfg, tile_noise, b,
+    ):
         # CFG batch layout is PAIR-INTERLEAVED, not [all-uncond; all-cond]:
         # with the batch dim sharded over the data mesh axis, each image's
         # (uncond, cond) rows stay on one device, so the guidance combine is

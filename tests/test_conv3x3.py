@@ -72,3 +72,16 @@ def test_supports_rules():
     assert supports((1, 1024, 1024, 128), (3, 3, 128, 128))
     assert not supports((1, 64, 64, 96), (3, 3, 96, 128))  # cin not /128
     assert not supports((1, 64, 64, 128), (1, 1, 128, 128))  # not 3x3
+
+
+def test_small_cout_tail():
+    """cout < 128 (the VAE's conv_out 128->3): padded to one lane tile in
+    the kernel, sliced after; bias included."""
+    x, w = _case(1, 16, 128, 3)
+    assert supports(x.shape, w.shape)
+    bias = jnp.asarray(np.linspace(-1, 1, 3), jnp.float32)
+    ref = _ref(x, w) + bias
+    with flags.override(pallas_interpret=_interp()):
+        out = conv3x3(x, w, bias=bias)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
