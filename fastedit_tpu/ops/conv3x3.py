@@ -110,15 +110,17 @@ def supports(x_shape, w_shape) -> bool:
     kh, kw, wcin, cout = w_shape
     if (kh, kw) != (3, 3) or wcin != cin:
         return False
-    if cin % 128:
+    # Unaligned channels are zero-padded to the next 128-lane tile and the
+    # output sliced back: zeros contribute nothing to the taps, so results
+    # are exact (Mosaic pads the contraction lanes internally anyway).
+    # Covers the UNet's 320-channel stage and small tails like the VAE's
+    # conv_out 128->3.  Tiny stems (conv_in 3/4ch) stay on XLA — there the
+    # padding overhead dominates.
+    if cin < 64:
         return False
-    # Small output tails (e.g. the VAE's conv_out 128->3) are padded to one
-    # 128-lane tile and sliced after — serving them keeps the whole graph
-    # in the kernel's row-major layout (see _pick_tiles note).
-    cout_eff = cout if cout % 128 == 0 else 128
-    if cout % 128 and cout > 128:
-        return False
-    return _pick_tiles(h, w, cin, cout_eff, 2) is not None
+    cin_eff = -(-cin // 128) * 128
+    cout_eff = -(-cout // 128) * 128
+    return _pick_tiles(h, w, cin_eff, cout_eff, 2) is not None
 
 
 @functools.partial(jax.jit, static_argnames=("act", "ht", "co"))
@@ -171,9 +173,13 @@ def conv3x3(
     assert supports(x.shape, w.shape), "check supports() before dispatch"
     b, h, width, cin = x.shape
     cout = w.shape[-1]
-    cout_pad = 0
-    if cout % 128:  # small tail (conv_out): pad to one lane tile, slice after
-        cout_pad = 128 - cout
+    cin_pad = (-cin) % 128
+    cout_pad = (-cout) % 128
+    if cin_pad:  # unaligned channels: zero-pad (exact — zeros add nothing)
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cin_pad)))
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, cin_pad), (0, 0)))
+        cin += cin_pad
+    if cout_pad:
         w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, cout_pad)))
         if bias is not None:
             bias = jnp.pad(bias.astype(jnp.float32), (0, cout_pad))

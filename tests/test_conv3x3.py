@@ -70,7 +70,9 @@ def test_edge_pixels_zero_padded():
 def test_supports_rules():
     assert supports((1, 128, 128, 1280), (3, 3, 1280, 1280))
     assert supports((1, 1024, 1024, 128), (3, 3, 128, 128))
-    assert not supports((1, 64, 64, 96), (3, 3, 96, 128))  # cin not /128
+    assert supports((1, 64, 64, 96), (3, 3, 96, 128))  # cin padded to 128
+    assert supports((1, 128, 128, 320), (3, 3, 320, 320))  # UNet stage 1
+    assert not supports((1, 64, 64, 4), (3, 3, 4, 128))  # tiny stem -> XLA
     assert not supports((1, 64, 64, 128), (1, 1, 128, 128))  # not 3x3
 
 
@@ -83,5 +85,17 @@ def test_small_cout_tail():
     ref = _ref(x, w) + bias
     with flags.override(pallas_interpret=_interp()):
         out = conv3x3(x, w, bias=bias)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_unaligned_cin_320():
+    """cin not a lane multiple (the UNet's 320-channel stage): zero-padded
+    to 384 internally, exact results."""
+    x, w = _case(1, 16, 320, 320)
+    assert supports(x.shape, w.shape)
+    ref = _ref(x, w)
+    with flags.override(pallas_interpret=_interp()):
+        out = conv3x3(x, w)
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
