@@ -72,7 +72,7 @@ def bench_conv():
             f"  {b}x{h:4d}x{w_:4d}x{cin:4d}->{cout:4d}:"
             f" xla {tx*1e3:7.3f} ms ({flops/tx/1e12:5.1f} TF/s)"
         )
-        if pc.supports(x.shape, w.shape):
+        if pc.supports(x.shape, w.shape, x.dtype.itemsize):
             tp = _time(lambda xx: pc.conv3x3(xx, w), x)
             line += f" | pallas {tp*1e3:7.3f} ms ({flops/tp/1e12:5.1f} TF/s) | {tx/tp:4.2f}x"
         print(line, flush=True)

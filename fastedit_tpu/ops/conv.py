@@ -44,7 +44,7 @@ def conv3x3_same(
     if flags.use_pallas_conv():
         from fastedit_tpu.ops import conv3x3 as k
 
-        if k.supports(x.shape, kernel.shape):
+        if k.supports(x.shape, kernel.shape, x.dtype.itemsize):
             return k.conv3x3(x, kernel, bias=bias, act=act)
 
     out = jax.lax.conv_general_dilated(

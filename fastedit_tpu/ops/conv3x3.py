@@ -103,7 +103,11 @@ def _pick_tiles(h: int, w: int, cin: int, cout: int, itemsize: int):
     return None
 
 
-def supports(x_shape, w_shape) -> bool:
+def supports(x_shape, w_shape, itemsize: int = 2) -> bool:
+    """Gate for the dispatcher.  ``itemsize`` must be the input dtype's
+    itemsize (2 for bf16, 4 for fp32) — the VMEM tile budget depends on it,
+    and fp32 activations (``--full_precision``) disqualify shapes that bf16
+    still serves."""
     if len(x_shape) != 4 or len(w_shape) != 4:
         return False
     _, h, w, cin = x_shape
@@ -120,7 +124,7 @@ def supports(x_shape, w_shape) -> bool:
         return False
     cin_eff = -(-cin // 128) * 128
     cout_eff = -(-cout // 128) * 128
-    return _pick_tiles(h, w, cin_eff, cout_eff, 2) is not None
+    return _pick_tiles(h, w, cin_eff, cout_eff, itemsize) is not None
 
 
 @functools.partial(jax.jit, static_argnames=("act", "ht", "co"))
@@ -170,7 +174,9 @@ def conv3x3(
     Bias and the optional SiLU are fused into the kernel epilogue
     (bias add first, then activation — standard conv+bias+act order).
     """
-    assert supports(x.shape, w.shape), "check supports() before dispatch"
+    assert supports(
+        x.shape, w.shape, x.dtype.itemsize
+    ), "check supports(..., x.dtype.itemsize) before dispatch"
     b, h, width, cin = x.shape
     cout = w.shape[-1]
     cin_pad = (-cin) % 128

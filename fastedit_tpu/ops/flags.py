@@ -7,6 +7,13 @@ The flags below pick the implementation; tests pin them per-case.
 
 Defaults: Pallas on TPU backends, XLA elsewhere (Pallas TPU kernels cannot
 run on the CPU backend except in interpret mode).
+
+CAVEAT — flags are read at TRACE time, and jit caches are keyed only on
+shapes/dtypes/static args.  Toggling a flag after a stage has been traced
+silently reuses the previously compiled variant.  For a warm
+``FastEditor`` call ``editor._rebuild_stages()`` after changing flags (the
+A/B harnesses in bench_conv.py / profile_edit.py do exactly this); tests
+use :func:`override` around editor construction, not around calls.
 """
 
 from __future__ import annotations

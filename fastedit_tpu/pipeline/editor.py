@@ -474,9 +474,19 @@ class FastEditor:
         device->host copy with the next chunk's upload/compute."""
         b = len(images)
         r = self.resolution
-        img_u8 = np.stack(
-            [np.asarray(resize(im.convert("RGB"), r), dtype=np.uint8) for im in images]
-        )
+        if isinstance(images, np.ndarray):
+            # Pre-resized uint8 batch [B, r, r, 3] — sweeps prepare chunks in
+            # a background thread (parallel/batch.py) so the per-chunk PIL
+            # decode+LANCZOS cost is off the critical path.
+            assert images.shape[1:] == (r, r, 3) and images.dtype == np.uint8
+            img_u8 = images
+        else:
+            img_u8 = np.stack(
+                [
+                    np.asarray(resize(im.convert("RGB"), r), dtype=np.uint8)
+                    for im in images
+                ]
+            )
         inputs = None
         if self.mesh is None:
             # Start the uint8 upload NOW: device_put is async, so the
@@ -567,7 +577,7 @@ class FastEditor:
         same noise stream, matching the reference's same-seeded per-image
         generators.
         """
-        assert len(images) == len(prompts) and images
+        assert len(images) == len(prompts) and len(images) > 0
         return self._run_edit_core(
             images,
             prompts,
@@ -586,7 +596,7 @@ class FastEditor:
         """Like ``edit_batch`` but returns a :class:`PendingEdit` without
         forcing the device->host readback.  Sweeps dispatch chunk i+1 while
         chunk i's images stream back (see parallel/batch.py)."""
-        assert len(images) == len(prompts) and images
+        assert len(images) == len(prompts) and len(images) > 0
         seed = kw.pop("seed", None)
         return self._run_edit_core(
             images,

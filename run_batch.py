@@ -119,7 +119,14 @@ def main(argv=None):
             edited_img = handle.result()[0]
             edited_img.save(output_path)
             processed += 1
-            if args.save_comparisons:
+        except Exception as e:  # keep the sweep alive (reference behavior)
+            print(f"\n      Error processing {image_id} ({type(e).__name__}): {e}")
+            failed += 1
+            return
+        if args.save_comparisons:
+            # A comparison-plot failure must not mark the already-saved
+            # edited image as failed (processed+failed would overcount).
+            try:
                 cmp_path = os.path.join(
                     comparisons_dir, rel_path.replace(".jpg", ".png")
                 )
@@ -127,9 +134,9 @@ def main(argv=None):
                 harness.save_comparison(
                     cmp_path, source_img, edited_img, args.model, prompt
                 )
-        except Exception as e:  # keep the sweep alive (reference behavior)
-            print(f"\n      Error processing {image_id} ({type(e).__name__}): {e}")
-            failed += 1
+            except Exception as e:
+                print(f"\n      Error saving comparison for {image_id} "
+                      f"({type(e).__name__}): {e}")
 
     for image_id, entry in tqdm(selected, desc="Editing"):
         try:

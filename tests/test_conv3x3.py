@@ -76,6 +76,29 @@ def test_supports_rules():
     assert not supports((1, 64, 64, 128), (1, 1, 128, 128))  # not 3x3
 
 
+def test_fp32_gate_consistent_with_dispatch():
+    """The supports() VMEM gate must use the REAL dtype itemsize: with fp32
+    activations (--full_precision) shapes that bf16 serves can exceed the
+    tile budget, and the dispatcher must fall back to XLA instead of
+    crashing at trace time (round-2 ADVICE high)."""
+    from fastedit_tpu.ops.conv3x3 import _pick_tiles
+    from fastedit_tpu.ops.conv import conv3x3_same
+
+    # SDXL up-block conv at 1024px: qualifies at itemsize 2, not at 4.
+    shape, wshape = (1, 32, 32, 2560), (3, 3, 2560, 1280)
+    assert supports(shape, wshape, 2)
+    assert _pick_tiles(32, 32, 2560, 1280, 4) is None
+    assert not supports(shape, wshape, 4)
+
+    # End-to-end: fp32 dispatch through conv3x3_same must not raise even
+    # with the Pallas flag forced on (falls back to the XLA conv).
+    x = jnp.ones((1, 32, 32, 2560), jnp.float32)
+    w = jnp.zeros((3, 3, 2560, 1280), jnp.float32)
+    with flags.override(use_pallas_conv=True, pallas_interpret=_interp()):
+        out = jax.eval_shape(conv3x3_same, x, w)
+    assert out.shape == (1, 32, 32, 1280)
+
+
 def test_small_cout_tail():
     """cout < 128 (the VAE's conv_out 128->3): padded to one lane tile in
     the kernel, sliced after; bias included."""
