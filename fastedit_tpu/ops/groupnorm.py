@@ -50,6 +50,40 @@ def group_norm_xla(
     return out.astype(orig_dtype)
 
 
+def group_norm_scale_shift(
+    x: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-(batch, channel) affine folding GroupNorm stats with gamma/beta.
+
+    Returns f32 ``(scale, shift)`` [B, C] such that
+    ``GN(x)[b,h,w,c] == x[b,h,w,c] * scale[b,c] + shift[b,c]``.
+
+    This is the prologue-side half of the fused resnet conv
+    (ops/conv_fused.py): one XLA reduction pass over the raw input replaces
+    the full normalize+activate+materialize round trip — the elementwise map
+    happens inside the conv kernel's VMEM tile.
+    """
+    b, h, w, c = x.shape
+    g = num_groups
+    assert c % g == 0
+    xf = x.astype(jnp.float32).reshape(b, h * w, g, c // g)
+    mean = jnp.mean(xf, axis=(1, 3))  # [B, G]
+    sqmean = jnp.mean(jnp.square(xf), axis=(1, 3))
+    var = jnp.maximum(sqmean - jnp.square(mean), 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    mean_c = jnp.repeat(mean, c // g, axis=1)  # [B, C]
+    rstd_c = jnp.repeat(rstd, c // g, axis=1)
+    gamma_f = gamma.astype(jnp.float32)[None, :]
+    beta_f = beta.astype(jnp.float32)[None, :]
+    scale = rstd_c * gamma_f
+    shift = beta_f - mean_c * scale
+    return scale, shift
+
+
 def group_norm(
     x: jax.Array,
     gamma: jax.Array,
