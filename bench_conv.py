@@ -152,6 +152,90 @@ def bench_gn():
         )
 
 
+def bench_fused():
+    """Whole resnet block: unfused XLA vs unfused Pallas-conv vs fused kernels."""
+    from fastedit_tpu.models.resnet import ResnetBlock2D
+    from fastedit_tpu.ops import flags
+
+    key = jax.random.PRNGKey(3)
+    print("resnet block (GN+SiLU+conv+temb+GN+SiLU+conv+skip), bf16:")
+    for b, h, w_, cin, cout in SHAPES:
+        block = ResnetBlock2D(
+            out_channels=cout, groups=32, dtype=jnp.bfloat16,
+            use_time_emb=True,
+        )
+        x = jax.random.normal(key, (b, h, w_, cin), jnp.bfloat16)
+        temb = jax.random.normal(key, (b, 1280), jnp.bfloat16)
+        params = block.init(jax.random.PRNGKey(0), x, temb)
+        conv_flops = 2 * b * h * w_ * 9 * (cin * cout + cout * cout)
+
+        def run(xx, use_fused, use_pallas):
+            with flags.override(
+                use_fused_resnet=use_fused, use_pallas_conv=use_pallas
+            ):
+                return block.apply(params, xx, temb)
+
+        t_xla = _time(lambda xx: run(xx, False, False), x)
+        t_pal = _time(lambda xx: run(xx, False, True), x)
+        t_fus = _time(lambda xx: run(xx, True, True), x)
+        print(
+            f"  {b}x{h:4d}x{w_:4d}x{cin:4d}->{cout:4d}:"
+            f" xla {t_xla*1e3:7.3f} | pallas-unfused {t_pal*1e3:7.3f}"
+            f" | fused {t_fus*1e3:7.3f} ms ({conv_flops/t_fus/1e12:5.1f} TF/s)"
+            f" | fused vs best-old {min(t_xla, t_pal)/t_fus:4.2f}x",
+            flush=True,
+        )
+
+
+def bench_up2():
+    """Upsample2D: materialized repeat+conv (XLA / Pallas) vs phase kernel."""
+    from fastedit_tpu.ops import conv3x3 as pc
+    from fastedit_tpu.ops.conv_fused import conv3x3_up2, supports_up2
+
+    key = jax.random.PRNGKey(4)
+    print("nearest-2x upsample + conv3x3 (bf16):")
+    for b, h, w_, cin, cout in [
+        (1, 128, 128, 512, 512),  # VAE decoder up1
+        (1, 256, 256, 512, 512),  # up2
+        (1, 512, 512, 256, 256),  # up3
+        (2, 32, 32, 1280, 1280),  # UNet up-path
+        (2, 64, 64, 640, 640),
+    ]:
+        kx, kw = jax.random.split(key)
+        x = jax.random.normal(kx, (b, h, w_, cin), jnp.bfloat16)
+        w = jax.random.normal(kw, (3, 3, cin, cout), jnp.bfloat16) * 0.05
+        flops_mat = 2 * b * (2 * h) * (2 * w_) * 9 * cin * cout
+
+        # every variant ends with a stride-2 slice so the fori-loop carry
+        # keeps its shape; the slice cost is common to all three.
+        def down(y):
+            return y[:, ::2, ::2, :cin]
+
+        def up_xla(xx):
+            up = jnp.repeat(jnp.repeat(xx, 2, axis=1), 2, axis=2)
+            return down(conv_xla(up, w))
+
+        def up_pallas(xx):
+            up = jnp.repeat(jnp.repeat(xx, 2, axis=1), 2, axis=2)
+            return down(pc.conv3x3(up, w))
+
+        line = f"  {b}x{h:4d}x{w_:4d}x{cin:4d}->{cout:4d}:"
+        tx = _time(up_xla, x)
+        line += f" xla {tx*1e3:7.3f}"
+        up_shape = (b, 2 * h, 2 * w_, cin)
+        if pc.supports(up_shape, w.shape, 2):
+            tp = _time(up_pallas, x)
+            line += f" | pallas-mat {tp*1e3:7.3f}"
+        if supports_up2(x.shape, w.shape, 2):
+            tf = _time(lambda xx: down(conv3x3_up2(xx, w)), x)
+            line += (
+                f" | up2-fused {tf*1e3:7.3f} ms"
+                f" ({flops_mat*16/36/tf/1e12:5.1f} TF/s)"
+                f" | vs xla {tx/tf:4.2f}x"
+            )
+        print(line, flush=True)
+
+
 def bench_attn():
     """Ours vs jax.experimental.pallas.ops.tpu.flash_attention vs XLA."""
     from fastedit_tpu.ops.attention import attention_xla
@@ -259,6 +343,10 @@ if __name__ == "__main__":
         bench_chain()
     if which in ("gn", "all"):
         bench_gn()
+    if which in ("fused", "all"):
+        bench_fused()
+    if which in ("up2", "all"):
+        bench_up2()
     if which in ("attn", "all"):
         bench_attn()
     if which in ("matmul", "all"):

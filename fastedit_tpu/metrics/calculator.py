@@ -95,12 +95,17 @@ class MetricsCalculator:
             )["params"],
         }
         missing = []
+        self._lazy_init = {}
         for name, init_fn in loads.items():
             path = os.path.join(weights_dir, name)
             if os.path.isdir(path):
                 self._params[name] = ckpt_io.load_params(path, jnp.float32)
             else:
-                self._params[name] = init_fn()
+                # LAZY: random fallback params are only materialized if a
+                # learned metric actually runs (tiny smoke configs or
+                # allow_random) — fail-closed instances report NaN without
+                # ever compiling the init programs (~4 min on 1 CPU core).
+                self._lazy_init[name] = init_fn
                 missing.append(name)
         # Fail closed: learned metrics never silently produce random-weight
         # numbers (reference evaluate.py artifact integrity). Tiny mode is
@@ -163,6 +168,12 @@ class MetricsCalculator:
         self._jit_mse_b = jit_f32(jax.vmap(lambda a, b: F.mse(a[None], b[None])))
         print("[MetricsCalculator] Initialization complete!")
 
+    def _backbone(self, name: str):
+        """Backbone params, materializing the random fallback on first use."""
+        if name not in self._params:
+            self._params[name] = self._lazy_init.pop(name)()
+        return self._params[name]
+
     # ----------------------------------------------------------- conversion
 
     def _pair_512(self, img1: Image.Image, img2: Image.Image):
@@ -196,7 +207,7 @@ class MetricsCalculator:
         if not self.learned_enabled:
             return float("nan")
         a, b = self._pair_512(img1, img2)
-        return float(self._jit_lpips(self._params["lpips"], a * 2 - 1, b * 2 - 1)[0])
+        return float(self._jit_lpips(self._backbone("lpips"), a * 2 - 1, b * 2 - 1)[0])
 
     def _clip_score_impl(self, params, pixels, ids):
         img_emb = self.clip_vision.apply({"params": params["clip_vision"]}, pixels)
@@ -218,8 +229,8 @@ class MetricsCalculator:
         return float(
             self._jit_clip(
                 {
-                    "clip_vision": self._params["clip_vision"],
-                    "clip_text": self._params["clip_text"],
+                    "clip_vision": self._backbone("clip_vision"),
+                    "clip_text": self._backbone("clip_text"),
                 },
                 jnp.asarray(arr, dtype=jnp.float32)[None],
                 ids,
@@ -251,7 +262,7 @@ class MetricsCalculator:
             return jnp.asarray(arr, dtype=jnp.float32)[None]
 
         return float(
-            self._jit_dino(self._params["dino"], prep(source_img), prep(edited_img))[0]
+            self._jit_dino(self._backbone("dino"), prep(source_img), prep(edited_img))[0]
         )
 
     def calculate_all_metrics(
@@ -314,7 +325,7 @@ class MetricsCalculator:
                 for i in range(n)
             ]
         lpips = np.asarray(
-            self._jit_lpips(self._params["lpips"], src * 2 - 1, edt * 2 - 1)
+            self._jit_lpips(self._backbone("lpips"), src * 2 - 1, edt * 2 - 1)
         )
 
         size = self.clip_vision_cfg.image_size
@@ -336,8 +347,8 @@ class MetricsCalculator:
         clip = np.asarray(
             self._jit_clip(
                 {
-                    "clip_vision": self._params["clip_vision"],
-                    "clip_text": self._params["clip_text"],
+                    "clip_vision": self._backbone("clip_vision"),
+                    "clip_text": self._backbone("clip_text"),
                 },
                 jnp.asarray(clip_pixels),
                 ids,
@@ -362,7 +373,7 @@ class MetricsCalculator:
 
         dino = np.asarray(
             self._jit_dino(
-                self._params["dino"], stack_dino(source_imgs), stack_dino(edited_imgs)
+                self._backbone("dino"), stack_dino(source_imgs), stack_dino(edited_imgs)
             )
         )
         return [

@@ -78,10 +78,20 @@ class GroupNorm(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, scale_shift: bool = False):
         c = x.shape[-1]
         gamma = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
         beta = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        if scale_shift:
+            # Fused-resnet prologue path: return per-(batch, channel) f32
+            # (scale, shift) folding the GN statistics with gamma/beta; the
+            # normalize(+act) map itself runs inside the consuming conv
+            # kernel's VMEM tile (ops/conv_fused.conv3x3_fused).
+            from fastedit_tpu.ops.groupnorm import group_norm_scale_shift
+
+            return group_norm_scale_shift(
+                x, gamma, beta, num_groups=self.num_groups, eps=self.eps
+            )
         return ops.group_norm(
             x, gamma, beta, num_groups=self.num_groups, eps=self.eps, act=self.act
         )

@@ -21,7 +21,20 @@ class Conv3x3(nn.Module):
     loop turns it on via flags.use_pallas_conv_denoise — see
     pipeline/stages.py and ops/conv.py), XLA otherwise.  Checkpoint
     converters and param trees are unaffected — the param names and
-    shapes match nn.Conv exactly."""
+    shapes match nn.Conv exactly.
+
+    Optional fused-resnet operands (ops/conv_fused.conv3x3_fused; each
+    falls back to the identical unfused XLA computation when the fused
+    kernel is off or the shape unsupported):
+
+    * ``prenorm``: f32 ``(scale, shift)`` [B, Cin] — input is mapped
+      through ``silu(x*scale + shift)`` before the taps (GroupNorm+SiLU
+      with stats precomputed, see GroupNorm(scale_shift=True)).
+    * ``extra_bias``: [B, Cout] per-batch add (time-embedding fold).
+    * ``skip``: [B, H, W, Cout] residual added after bias.
+    * ``up2``: nearest-2x upsample before the conv (phase-decomposed
+      kernel — no materialized 4x tensor; ops/conv_fused.conv3x3_up2).
+    """
 
     features: int
     kernel_init: Any = nn.initializers.lecun_normal()
@@ -30,15 +43,62 @@ class Conv3x3(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        prenorm: Optional[tuple[jax.Array, jax.Array]] = None,
+        extra_bias: Optional[jax.Array] = None,
+        skip: Optional[jax.Array] = None,
+        up2: bool = False,
+    ) -> jax.Array:
+        from fastedit_tpu.ops import conv_fused, flags
+
         cin = x.shape[-1]
         kernel = self.param(
             "kernel", self.kernel_init, (3, 3, cin, self.features), self.param_dtype
         )
         bias = self.param("bias", self.bias_init, (self.features,), self.param_dtype)
-        return conv3x3_same(
-            x.astype(self.dtype), kernel.astype(self.dtype), bias.astype(self.dtype)
-        )
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+
+        if up2:
+            assert prenorm is None and extra_bias is None and skip is None
+            if flags.use_fused_up2() and conv_fused.supports_up2(
+                x.shape, kernel.shape, x.dtype.itemsize
+            ):
+                return conv_fused.conv3x3_up2(x, kernel, bias=bias)
+            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+            return conv3x3_same(x, kernel, bias=bias.astype(self.dtype))
+
+        if prenorm is None and extra_bias is None and skip is None:
+            return conv3x3_same(x, kernel, bias=bias.astype(self.dtype))
+
+        if extra_bias is not None:
+            bias_eff = bias.astype(jnp.float32)[None, :] + extra_bias.astype(
+                jnp.float32
+            )  # [B, Cout]
+        else:
+            bias_eff = bias
+        if flags.use_fused_resnet() and conv_fused.supports_fused(
+            x.shape, kernel.shape, x.dtype.itemsize, skip is not None
+        ):
+            return conv_fused.conv3x3_fused(
+                x, kernel, bias=bias_eff, prenorm=prenorm, skip=skip
+            )
+        # Unfused fallback: same math as the kernel, op by op.
+        if prenorm is not None:
+            scale, shift = prenorm
+            xf = x.astype(jnp.float32)
+            y = xf * scale[:, None, None, :] + shift[:, None, None, :]
+            x = (y * jax.nn.sigmoid(y)).astype(self.dtype)
+        out = conv3x3_same(x, kernel, bias=None)
+        if bias_eff.ndim == 2:
+            out = out + bias_eff[:, None, None, :].astype(out.dtype)
+        else:
+            out = out + bias_eff.astype(out.dtype)
+        if skip is not None:
+            out = out + skip.astype(out.dtype)
+        return out.astype(self.dtype)
 
 
 class Conv1x1(nn.Module):
@@ -119,10 +179,16 @@ class ResnetBlock2D(nn.Module):
     def __call__(
         self, x: jax.Array, temb: Optional[jax.Array] = None
     ) -> jax.Array:
+        from fastedit_tpu.ops import conv_fused, flags
+
         conv = partial(_conv, dtype=self.dtype, param_dtype=self.param_dtype)
         in_channels = x.shape[-1]
-        h = GroupNorm(num_groups=self.groups, eps=self.eps, act="silu", name="norm1")(x)
-        h = conv(self.out_channels, 3, name="conv1")(h)
+        norm1 = GroupNorm(num_groups=self.groups, eps=self.eps, act="silu", name="norm1")
+        norm2 = GroupNorm(num_groups=self.groups, eps=self.eps, act="silu", name="norm2")
+        conv1 = conv(self.out_channels, 3, name="conv1")
+        conv2 = conv(self.out_channels, 3, name="conv2")
+
+        t = None
         if self.use_time_emb:
             assert temb is not None, "time embedding required"
             t = nn.Dense(
@@ -131,9 +197,39 @@ class ResnetBlock2D(nn.Module):
                 param_dtype=self.param_dtype,
                 name="time_emb_proj",
             )(jax.nn.silu(temb))
+
+        itemsize = jnp.dtype(self.dtype).itemsize
+        out_shape = (*x.shape[:-1], self.out_channels)
+        fused = (
+            flags.use_fused_resnet()
+            and isinstance(conv1, Conv3x3)
+            and conv_fused.supports_fused(
+                x.shape, (3, 3, in_channels, self.out_channels), itemsize
+            )
+            and conv_fused.supports_fused(
+                out_shape, (3, 3, self.out_channels, self.out_channels),
+                itemsize, True,
+            )
+        )
+        if fused:
+            # Whole-block fusion: GN stats stay XLA reductions over the raw
+            # tensors; the normalize+SiLU map, time-embedding bias, and the
+            # residual add all ride inside the two conv kernels' VMEM tiles
+            # (one HBM round trip per conv — ops/conv_fused.py).
+            shortcut = (
+                conv(self.out_channels, 1, name="conv_shortcut")(x)
+                if in_channels != self.out_channels
+                else x
+            )
+            h = conv1(x, prenorm=norm1(x, scale_shift=True), extra_bias=t)
+            return conv2(h, prenorm=norm2(h, scale_shift=True), skip=shortcut)
+
+        h = norm1(x)
+        h = conv1(h)
+        if t is not None:
             h = h + t[:, None, None, :]
-        h = GroupNorm(num_groups=self.groups, eps=self.eps, act="silu", name="norm2")(h)
-        h = conv(self.out_channels, 3, name="conv2")(h)
+        h = norm2(h)
+        h = conv2(h)
         if in_channels != self.out_channels:
             x = conv(self.out_channels, 1, name="conv_shortcut")(x)
         return x + h
@@ -174,11 +270,13 @@ class Upsample2D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        # up2=True dispatches the phase-decomposed fused upsample+conv
+        # kernel when flags/shape allow; Conv3x3 otherwise materializes
+        # the exact nearest-2x repeat and runs the plain conv.
         return _conv(
             self.out_channels,
             3,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="conv",
-        )(x)
+        )(x, up2=True)

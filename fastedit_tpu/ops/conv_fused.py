@@ -130,7 +130,7 @@ def _fused_kernel(
                 preferred_element_type=jnp.float32,
             )
             acc = part if acc is None else acc + part
-    acc = acc + b_ref[0]  # [1, co] or per-batch row — broadcast over rows
+    acc = acc + b_ref[0]  # [1, co] shared or per-batch row — broadcast over rows
     if act == "silu":
         acc = acc * jax.nn.sigmoid(acc)
     if has_skip:
@@ -180,15 +180,21 @@ def _fused_call(x, w, bias, pre, skip, act, ht, co, has_pre, has_skip):
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - width - 1), (0, 0)))
     grid = (b, cout // co, h // ht)
     nb = bias.shape[0]
+    bias = bias.reshape(nb, 1, bias.shape[-1])
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),  # padded input, manual DMA
         pl.BlockSpec(
             (3, 3, cin, co), lambda b, ico, ih: (0, 0, 0, ico),
             memory_space=pltpu.VMEM,
         ),
+        # bias rides as [nb, 1, co] so the block's trailing dims (1, co)
+        # match the array exactly (TPU block rule: last two dims divisible
+        # by (8, 128) or equal to the array's).
         pl.BlockSpec(
-            (1, co),
-            (lambda b, ico, ih: (b, ico)) if nb > 1 else (lambda b, ico, ih: (0, ico)),
+            (1, 1, co),
+            (lambda b, ico, ih: (b, 0, ico))
+            if nb > 1
+            else (lambda b, ico, ih: (0, 0, ico)),
             memory_space=pltpu.VMEM,
         ),
     ]

@@ -29,6 +29,8 @@ class KernelFlags:
     use_pallas_attention: bool | None = None  # None = auto (TPU yes, CPU no)
     use_pallas_groupnorm: bool | None = None
     use_pallas_conv: bool | None = None  # None = auto (TPU yes, CPU no)
+    use_fused_resnet: bool | None = None  # None = follow use_pallas_conv()
+    use_fused_up2: bool | None = None  # None = follow use_pallas_conv()
     pallas_interpret: bool = False  # run Pallas kernels interpreted (debug/CPU)
 
 
@@ -75,6 +77,32 @@ def use_pallas_conv_denoise() -> bool:
     if FLAGS.use_pallas_conv is None:
         return _on_tpu()
     return FLAGS.use_pallas_conv
+
+
+def use_fused_resnet() -> bool:
+    """Whole-resnet-block fusion (ops/conv_fused.conv3x3_fused).
+
+    GN+SiLU prologue, per-batch time-embedding bias, and the skip-add
+    epilogue ride inside the conv kernel's VMEM tiles, so a resnet
+    block's activations make one HBM round trip per conv instead of
+    three.  Default: wherever the Pallas conv itself is on (same layout
+    region, same trace-time context).
+    """
+    if FLAGS.use_fused_resnet is None:
+        return use_pallas_conv()
+    return FLAGS.use_fused_resnet
+
+
+def use_fused_up2() -> bool:
+    """Phase-decomposed nearest-2x upsample+conv (ops/conv_fused.conv3x3_up2).
+
+    Removes the materialized 4x upsample tensor that kept the VAE
+    decoder on XLA (see use_pallas_conv docstring).  Default: follow the
+    Pallas-conv context.
+    """
+    if FLAGS.use_fused_up2 is None:
+        return use_pallas_conv()
+    return FLAGS.use_fused_up2
 
 
 def use_pallas_groupnorm() -> bool:

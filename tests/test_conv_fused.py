@@ -166,6 +166,52 @@ def test_up2_silu_and_small_cout():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
 
+def test_resnet_block_module_fused_equals_unfused():
+    """ResnetBlock2D with use_fused_resnet on == the unfused module path,
+    same params (checkpoint compatibility) — covers prenorm folding, the
+    time-embedding per-batch bias, and the residual epilogue end-to-end."""
+    from fastedit_tpu.models.resnet import ResnetBlock2D
+
+    block = ResnetBlock2D(out_channels=128, groups=32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 128))
+    temb = jax.random.normal(jax.random.PRNGKey(1), (2, 64))
+    params = block.init(jax.random.PRNGKey(2), x, temb)
+    with flags.override(use_fused_resnet=False):
+        ref = block.apply(params, x, temb)
+    with flags.override(use_fused_resnet=True, pallas_interpret=_interp()):
+        out = block.apply(params, x, temb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-4, atol=5e-5)
+
+
+def test_resnet_block_module_fused_shortcut_no_temb():
+    """Channel-changing block without time embedding (VAE decoder case):
+    conv_shortcut feeds the fused skip epilogue."""
+    from fastedit_tpu.models.resnet import ResnetBlock2D
+
+    block = ResnetBlock2D(out_channels=128, use_time_emb=False, groups=32)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 16, 256))
+    params = block.init(jax.random.PRNGKey(4), x)
+    with flags.override(use_fused_resnet=False):
+        ref = block.apply(params, x)
+    with flags.override(use_fused_resnet=True, pallas_interpret=_interp()):
+        out = block.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-4, atol=5e-5)
+
+
+def test_upsample_module_fused_equals_unfused():
+    from fastedit_tpu.models.resnet import Upsample2D
+
+    up = Upsample2D(out_channels=128)
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 8, 8, 128))
+    params = up.init(jax.random.PRNGKey(6), x)
+    with flags.override(use_fused_up2=False):
+        ref = up.apply(params, x)
+    with flags.override(use_fused_up2=True, pallas_interpret=_interp()):
+        out = up.apply(params, x)
+    assert out.shape == ref.shape == (1, 16, 16, 128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
 def test_supports_gates():
     assert supports_fused((1, 128, 128, 1280), (3, 3, 1280, 1280), 2)
     assert supports_fused((1, 128, 128, 1280), (3, 3, 1280, 1280), 2, True)
