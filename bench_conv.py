@@ -254,7 +254,19 @@ def bench_attn():
         flops = 2 * 4 * h * s * s * d  # 2 matmuls fwd, x2 batch
 
         def ours(q):
-            return fa.flash_attention(q, k, v)
+            return fa.flash_attention(q, k, v)  # packed when d=64, h even
+
+        def ours_unpacked(q):
+            blocks = fa._pick_blocks(s, s, d)
+            b = q.shape[0]
+
+            def to_bhsd(x):
+                return jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, d)
+
+            out = fa._flash_bhsd(
+                to_bhsd(q), to_bhsd(k), to_bhsd(v), d**-0.5, *blocks
+            )
+            return jnp.transpose(out.reshape(b, h, s, d), (0, 2, 1, 3))
 
         def xla(q):
             return attention_xla(q, k, v)
@@ -272,12 +284,136 @@ def bench_attn():
             f" ours {to*1e3:7.3f} ms ({flops/to/1e12:5.1f} TF/s)"
             f" | xla {tx*1e3:7.3f} ms ({flops/tx/1e12:5.1f} TF/s)"
         )
+        if fa.supports_packed(q.shape, s, q.dtype.itemsize):
+            tu = _time(ours_unpacked, q)
+            line += f" | unpacked {tu*1e3:7.3f} ms ({flops/tu/1e12:5.1f} TF/s)"
         try:
             tj = _time(jaxfa, q)
             line += f" | jax-fa {tj*1e3:7.3f} ms ({flops/tj/1e12:5.1f} TF/s)"
         except Exception as e:
             line += f" | jax-fa FAILED {type(e).__name__}: {str(e)[:60]}"
         print(line, flush=True)
+
+
+def bench_decode():
+    """In-context VAE decode A/B: XLA decoder vs full-Pallas decoder.
+
+    The round-2 layout-war bisect measured XLA 129 ms vs Pallas 143 ms
+    (the materialized nearest-2x upsamples + boundary relayouts ate the
+    per-conv wins).  conv3x3_up2 removes the materialized upsample and
+    conv3x3_fused folds GN+SiLU+skip into the convs; this re-measures the
+    whole decode under each flag setting.  Queue-10-sync-1 timing: decode
+    calls are independent, so dispatch async and sync once (single ~25 ms
+    relay ack amortized).
+    """
+    import numpy as np
+    from fastedit_tpu import FastEditor
+    from fastedit_tpu.ops import flags
+
+    editor = FastEditor("ssd-1b", random_weights=True)
+    lat = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 128, 128, 4)),
+        editor.dtype,
+    )
+
+    def run(label):
+        editor._rebuild_stages()
+        # Relay-safe sync: block_until_ready acks early through the axon
+        # relay — force a scalar readback of every output instead.
+        float(jnp.sum(editor._vae_decode(lat).astype(jnp.float32)))  # compile
+        n = 10
+        t0 = time.time()
+        outs = [editor._vae_decode(lat) for _ in range(n)]
+        float(sum(jnp.sum(o.astype(jnp.float32)) for o in outs))
+        t = (time.time() - t0) / n
+        print(f"  {label:42s} {t*1e3:7.1f} ms", flush=True)
+        return outs[0]
+
+    with flags.override(use_pallas_conv=False):
+        a = run("xla decoder")
+    with flags.override(
+        use_pallas_conv=True, use_fused_resnet=True, use_fused_up2=True
+    ):
+        b = run("pallas decoder (fused resnet + up2)")
+    with flags.override(
+        use_pallas_conv=True, use_fused_resnet=False, use_fused_up2=False
+    ):
+        run("pallas decoder (bare convs, r2 config)")
+    with flags.override(
+        use_pallas_conv=True, use_fused_resnet=True, use_fused_up2=False
+    ):
+        run("pallas decoder (fused resnet, xla up2)")
+    with flags.override(
+        use_pallas_conv=True, use_fused_resnet=False, use_fused_up2=True
+    ):
+        run("pallas decoder (up2 only)")
+    run("default dispatch")
+    editor._rebuild_stages()
+    err = float(
+        jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+    )
+    print(f"  max |xla - pallas| (uint8 scale): {err:.2f}")
+
+
+def bench_denoise():
+    """In-context denoise-loop A/B over the fused-kernel flag matrix.
+
+    The denoise loop runs with use_pallas_conv_denoise ON; whether the
+    whole-resnet fusion and the phase-decomposed upsample conv help
+    *inside the loop* (UNet stage shapes, CFG batch 2) is a separate
+    question from the decoder — microbenches said fused resnet is
+    neutral-to-worse on UNet shapes (0.84-0.99x) but wins on decoder
+    shapes.  This measures the real 3-step CFG denoise under each combo.
+    """
+    import numpy as np
+    from fastedit_tpu import FastEditor
+    from fastedit_tpu.ops import flags
+    from fastedit_tpu.pipeline import stages
+    from fastedit_tpu.sched.lcm import make_schedule
+
+    editor = FastEditor("ssd-1b", random_weights=True)
+    rng = np.random.default_rng(0)
+    r = editor.resolution
+    latents = jnp.asarray(
+        rng.standard_normal((1, r // 8, r // 8, 4)), editor.dtype
+    )
+    control = jnp.asarray(rng.standard_normal((1, r, r, 3)), editor.dtype)
+    ctx = jnp.asarray(rng.standard_normal((2, 77, 2048)), editor.dtype)
+    pooled = jnp.asarray(rng.standard_normal((2, 1280)), editor.dtype)
+    time_ids = stages.make_sdxl_time_ids(2, r)
+    schedule = make_schedule(editor.scheduler_config, 4, strength=0.8)
+    key = jax.random.PRNGKey(0)
+
+    def run(label):
+        editor._rebuild_stages()
+
+        def go():
+            # _denoise donates the latents buffer — hand it a fresh copy.
+            out = editor._denoise(
+                jnp.copy(latents), ctx, pooled, time_ids, control, schedule,
+                jnp.float32(1.5), jnp.float32(0.5), key, do_cfg=True,
+            )
+            return float(jnp.sum(out.astype(jnp.float32)))
+
+        go()  # compile
+        n = 6
+        t0 = time.time()
+        for _ in range(n):
+            go()
+        t = (time.time() - t0) / n
+        print(f"  {label:46s} {t*1e3:7.1f} ms", flush=True)
+
+    run("default dispatch")
+    with flags.override(use_fused_resnet=False, use_fused_up2=False):
+        run("pallas convs, no fusion (r2 config)")
+    with flags.override(use_fused_resnet=True, use_fused_up2=True):
+        run("pallas convs + fused resnet + up2")
+    with flags.override(use_fused_resnet=False, use_fused_up2=True):
+        run("pallas convs + up2 only")
+    with flags.override(use_fused_resnet=True, use_fused_up2=False):
+        run("pallas convs + fused resnet only")
+    with flags.override(use_pallas_conv=False):
+        run("xla convs everywhere")
 
 
 def bench_matmul():
@@ -349,6 +485,10 @@ if __name__ == "__main__":
         bench_up2()
     if which in ("attn", "all"):
         bench_attn()
+    if which in ("decode",):
+        bench_decode()
+    if which in ("denoise",):
+        bench_denoise()
     if which in ("matmul", "all"):
         bench_matmul()
     if which in ("resize", "all"):

@@ -79,6 +79,28 @@ def use_pallas_conv_denoise() -> bool:
     return FLAGS.use_pallas_conv
 
 
+def use_pallas_conv_decode() -> bool:
+    """Pallas convs + whole-resnet/upsample fusion in the VAE decoder.
+
+    On by default on TPU (round-3 flip).  The round-2 layout war left the
+    decoder on XLA because bare Pallas convs lost end-to-end (the
+    materialized nearest-2x upsamples + boundary relayouts ate the
+    per-conv wins).  With conv3x3_up2 removing the materialized upsample
+    and conv3x3_fused folding GN+SiLU+skip into the convs, the in-context
+    A/B (bench_conv.py decode, v5e, 1024², queue-10 timing) measures:
+
+        xla decoder                  98.4 ms
+        pallas fused resnet + up2    82.0 ms   <- default
+        pallas bare convs (r2)      106.3 ms
+        pallas fused resnet only     97.2 ms
+
+    Fusion, not the conv itself, is what beats XLA here.
+    """
+    if FLAGS.use_pallas_conv is None:
+        return _on_tpu()
+    return FLAGS.use_pallas_conv
+
+
 def use_fused_resnet() -> bool:
     """Whole-resnet-block fusion (ops/conv_fused.conv3x3_fused).
 
@@ -86,7 +108,9 @@ def use_fused_resnet() -> bool:
     epilogue ride inside the conv kernel's VMEM tiles, so a resnet
     block's activations make one HBM round trip per conv instead of
     three.  Default: wherever the Pallas conv itself is on (same layout
-    region, same trace-time context).
+    region, same trace-time context); the denoise/decode stage overrides
+    pin the measured per-context choice (see resolve_fused_denoise /
+    resolve_fused_decode).
     """
     if FLAGS.use_fused_resnet is None:
         return use_pallas_conv()
@@ -103,6 +127,37 @@ def use_fused_up2() -> bool:
     if FLAGS.use_fused_up2 is None:
         return use_pallas_conv()
     return FLAGS.use_fused_up2
+
+
+def resolve_fused_denoise() -> tuple[bool, bool]:
+    """(use_fused_resnet, use_fused_up2) inside the denoise loop.
+
+    In-context flag matrix (bench_conv.py denoise, SSD-1B 3-step CFG at
+    1024², v5e): pallas convs + up2 only 277.0 ms < no fusion 294.7 <
+    fused-resnet-only 291.0 < both fusions 302.6 < XLA 319.9.  The
+    whole-resnet fusion that wins in the decoder LOSES on the UNet's
+    CFG-batch-2 shapes (microbench 0.84-0.99x) — its GN stats pass reads
+    the conv input twice, which the loop's layout can't hide — so the
+    denoise default is up2 ON, resnet-fusion OFF.  Explicit FLAGS
+    settings override the defaults in both directions.
+    """
+    on = use_pallas_conv_denoise()
+    resnet = (
+        FLAGS.use_fused_resnet if FLAGS.use_fused_resnet is not None else False
+    )
+    up2 = FLAGS.use_fused_up2 if FLAGS.use_fused_up2 is not None else on
+    return resnet and on, up2 and on
+
+
+def resolve_fused_decode() -> tuple[bool, bool]:
+    """(use_fused_resnet, use_fused_up2) inside the VAE decoder: both ON
+    by default — 82.0 ms vs 98.4 XLA (see use_pallas_conv_decode)."""
+    on = use_pallas_conv_decode()
+    resnet = (
+        FLAGS.use_fused_resnet if FLAGS.use_fused_resnet is not None else on
+    )
+    up2 = FLAGS.use_fused_up2 if FLAGS.use_fused_up2 is not None else on
+    return resnet and on, up2 and on
 
 
 def use_pallas_groupnorm() -> bool:

@@ -148,6 +148,20 @@ def _packed_kernel(
 
     Softmax stats stay per-head by splitting the score tile at column
     BKV (m in lane 0/1 of m_ref, l likewise).
+
+    MEASURED RESULT (v5e, S=4096 H=10 D=64 bf16, fori-loop timing):
+    packed 46.2 TF/s vs unpacked 46.1 TF/s — a wash.  The accounting says
+    why: the zero lane-halves of the block-diagonal K/V are real MXU work,
+    so the packed QK/PV matmuls do exactly 2x the MACs of two 64-wide
+    ones — full lane width is bought back at even FLOPs.  The surviving
+    advantage is HBM traffic (compact K/V ride in once per head pair
+    instead of once per q block: 42 MB vs 671 MB per CFG batch at S=4096),
+    but at these sizes the DMA already hides behind compute, so it does
+    not show up as wall time.  Both paths beat XLA 2.3x (19.9 TF/s) and
+    the reference jax pallas flash kernel 5x (9.2 TF/s).  Packed stays
+    the default for even-head D=64 shapes: equal speed, ~16x less HBM
+    read pressure to interfere with neighboring ops in the fused edit
+    program.
     """
     iq = pl.program_id(1)
     ikv = pl.program_id(2)

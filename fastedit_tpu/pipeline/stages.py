@@ -140,7 +140,19 @@ def _vae_decode_fn(mod: PipelineModules):
     vae, scale = mod.vae, mod.vae_scaling_factor
 
     def decode_one(vae_params, latents):
-        img = vae.apply({"params": vae_params}, latents / scale, method=vae.decode)
+        # Trace-time dispatch: the fused Pallas decoder (resnet fusion +
+        # phase-decomposed upsample convs) wins in the decoder context
+        # (82.0 vs 98.4 ms — flags.use_pallas_conv_decode) while the
+        # encoder keeps the XLA default.
+        fused_resnet, fused_up2 = flags.resolve_fused_decode()
+        with flags.override(
+            use_pallas_conv=flags.use_pallas_conv_decode(),
+            use_fused_resnet=fused_resnet,
+            use_fused_up2=fused_up2,
+        ):
+            img = vae.apply(
+                {"params": vae_params}, latents / scale, method=vae.decode
+            )
         img01 = jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
         return (img01 * 255.0 + 0.5).astype(jnp.uint8)
 
@@ -196,8 +208,15 @@ def _denoise_fn(mod: PipelineModules):
         # Trace-time dispatch: the Pallas conv wins inside the denoise
         # loop (flags.use_pallas_conv_denoise) while the VAE stages keep
         # the XLA conv path — the flag context applies to everything
-        # traced in this function body.
-        with flags.override(use_pallas_conv=flags.use_pallas_conv_denoise()):
+        # traced in this function body.  Fusion choice is per-context:
+        # up2 ON / whole-resnet OFF in the loop (flags.resolve_fused_denoise
+        # records the measured matrix).
+        fused_resnet, fused_up2 = flags.resolve_fused_denoise()
+        with flags.override(
+            use_pallas_conv=flags.use_pallas_conv_denoise(),
+            use_fused_resnet=fused_resnet,
+            use_fused_up2=fused_up2,
+        ):
             return _denoise_body(
                 params, latents, context, pooled, time_ids, control_image,
                 schedule, guidance_scale, controlnet_scale, key,

