@@ -389,17 +389,19 @@ def bench_denoise():
 
         def go():
             # _denoise donates the latents buffer — hand it a fresh copy.
-            out = editor._denoise(
+            return editor._denoise(
                 jnp.copy(latents), ctx, pooled, time_ids, control, schedule,
                 jnp.float32(1.5), jnp.float32(0.5), key, do_cfg=True,
             )
-            return float(jnp.sum(out.astype(jnp.float32)))
 
-        go()  # compile
+        float(jnp.sum(go().astype(jnp.float32)))  # compile
+        # Queue-n-sync-1 (same policy as bench_decode): one scalar
+        # readback at the end amortizes the ~25-40 ms relay ack that a
+        # per-call sync would charge to every iteration.
         n = 6
         t0 = time.time()
-        for _ in range(n):
-            go()
+        outs = [go() for _ in range(n)]
+        float(sum(jnp.sum(o.astype(jnp.float32)) for o in outs))
         t = (time.time() - t0) / n
         print(f"  {label:46s} {t*1e3:7.1f} ms", flush=True)
 
