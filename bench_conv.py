@@ -329,6 +329,10 @@ def bench_decode():
         print(f"  {label:42s} {t*1e3:7.1f} ms", flush=True)
         return outs[0]
 
+    # The first timed arm of a process runs ~2x slow (relay stream /
+    # allocator warm-up — measured 83 vs 44 ms on identical XLA-encoder
+    # arms); burn it on a throwaway.
+    run("warmup arm (discard)")
     with flags.override(use_pallas_conv=False):
         a = run("xla decoder")
     with flags.override(
@@ -353,6 +357,51 @@ def bench_decode():
         jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
     )
     print(f"  max |xla - pallas| (uint8 scale): {err:.2f}")
+
+
+def bench_encode():
+    """In-context VAE encode A/B: XLA vs Pallas conv variants.
+
+    The encoder mirrors the decoder's conv stack but downsamples (the
+    stride-2 convs always stay XLA — the kernel is stride-1 SAME only)
+    and has no upsamples, so only the bare conv and the whole-resnet
+    fusion are in play.  Queue-10-sync-1 timing like bench_decode.
+    """
+    import numpy as np
+    from fastedit_tpu import FastEditor
+    from fastedit_tpu.ops import flags
+
+    editor = FastEditor("ssd-1b", random_weights=True)
+    img = jnp.asarray(
+        np.random.default_rng(0).uniform(-1.0, 1.0, (1, 1024, 1024, 3)),
+        editor.dtype,
+    )
+    key = jax.random.PRNGKey(0)
+
+    def run(label):
+        editor._rebuild_stages()
+        float(jnp.sum(editor._vae_encode(img, key).astype(jnp.float32)))
+        n = 10
+        t0 = time.time()
+        outs = [editor._vae_encode(img, key) for _ in range(n)]
+        float(sum(jnp.sum(o.astype(jnp.float32)) for o in outs))
+        t = (time.time() - t0) / n
+        print(f"  {label:42s} {t*1e3:7.1f} ms", flush=True)
+        return outs[0]
+
+    run("warmup arm (discard)")  # first timed arm runs ~2x slow (see bench_decode)
+    with flags.override(use_pallas_conv=False):
+        a = run("xla encoder")
+    with flags.override(use_pallas_conv=True, use_fused_resnet=True):
+        b = run("pallas encoder (fused resnet)")
+    with flags.override(use_pallas_conv=True, use_fused_resnet=False):
+        run("pallas encoder (bare convs)")
+    run("default dispatch")
+    editor._rebuild_stages()
+    err = float(
+        jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+    )
+    print(f"  max |xla - pallas| (latent scale): {err:.4f}")
 
 
 def bench_denoise():
@@ -405,6 +454,7 @@ def bench_denoise():
         t = (time.time() - t0) / n
         print(f"  {label:46s} {t*1e3:7.1f} ms", flush=True)
 
+    run("warmup arm (discard)")  # first timed arm runs ~2x slow (see bench_decode)
     run("default dispatch")
     with flags.override(use_fused_resnet=False, use_fused_up2=False):
         run("pallas convs, no fusion (r2 config)")
@@ -489,6 +539,8 @@ if __name__ == "__main__":
         bench_attn()
     if which in ("decode",):
         bench_decode()
+    if which in ("encode",):
+        bench_encode()
     if which in ("denoise",):
         bench_denoise()
     if which in ("matmul", "all"):

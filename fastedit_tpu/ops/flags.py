@@ -51,15 +51,17 @@ def use_pallas_attention() -> bool:
 
 
 def use_pallas_conv() -> bool:
-    """Pallas 3x3 conv outside the denoise loop (VAE & friends).
+    """Pallas 3x3 conv in unmeasured contexts (VAE *encoder* & friends).
 
-    Off by default: in the one-shot VAE decoder the kernel's convs are
-    individually 2-3.5x faster than XLA's (profiled 1.6 vs 24 ms at the
-    big layers), but XLA materializes the nearest-2x upsamples and
-    relayouts at the remaining XLA-op boundaries, netting 143 vs 129 ms.
-    Partial coverage is far worse (241 ms): mixed pallas/XLA-conv graphs
-    fight over layouts (row-major T(8,128) vs conv-preferred
-    {3,0,2,1:T(2,128)}) — see _pick_tiles note in ops/conv3x3.py.
+    Off by default.  The denoise loop and the VAE decoder have their own
+    measured defaults (use_pallas_conv_denoise / use_pallas_conv_decode,
+    both ON on TPU); everything else keeps XLA because the encoder A/B
+    (bench_conv.py encode, repeated interleaved arms, v5e) measured XLA
+    43.7-44.4 ms vs fused Pallas 55.7-56.7 vs bare 62.0: the encoder's
+    stride-2 downsample convs stay XLA (the kernel is stride-1 SAME
+    only), so Pallas coverage is partial and the layout war resumes
+    (row-major T(8,128) custom-calls vs conv-preferred
+    {3,0,2,1:T(2,128)} — see _pick_tiles note in ops/conv3x3.py).
     """
     if FLAGS.use_pallas_conv is None:
         return False
@@ -133,8 +135,9 @@ def resolve_fused_denoise() -> tuple[bool, bool]:
     """(use_fused_resnet, use_fused_up2) inside the denoise loop.
 
     In-context flag matrix (bench_conv.py denoise, SSD-1B 3-step CFG at
-    1024², v5e): pallas convs + up2 only 277.0 ms < no fusion 294.7 <
-    fused-resnet-only 291.0 < both fusions 302.6 < XLA 319.9.  The
+    1024², v5e, queue-6-sync-1 timing after a warmup arm): pallas convs
+    + up2 only 241.4 ms < no fusion 249.0 < both fusions 253.8 <
+    fused-resnet-only 257.4 < XLA 272.7.  The
     whole-resnet fusion that wins in the decoder LOSES on the UNet's
     CFG-batch-2 shapes (microbench 0.84-0.99x) — its GN stats pass reads
     the conv input twice, which the loop's layout can't hide — so the
