@@ -63,10 +63,31 @@ def _torch_meta_sd(ctor):
 
 
 @pytest.fixture(scope="module")
-def mock_snap(tmp_path_factory):
+def workdir(tmp_path_factory):
+    """Scratch root for the mocked snapshots AND the converted outputs.
+
+    ~1 GB of tensor bytes flows through here per test (two 160 MB mocked
+    VAE safetensors in, bf16+fp32 checkpoints out); on this host's disk
+    that is ~35 s of pure IO syscall time, on tmpfs it is seconds — so
+    prefer /dev/shm when it exists."""
+    import pathlib
+    import shutil
+    import tempfile
+
+    if os.path.isdir("/dev/shm"):
+        d = pathlib.Path(tempfile.mkdtemp(prefix="bring_up_", dir="/dev/shm"))
+        yield d
+        shutil.rmtree(d, ignore_errors=True)
+    else:
+        yield tmp_path_factory.mktemp("bring_up_root")
+
+
+@pytest.fixture(scope="module")
+def mock_snap(workdir):
     """Minimal snapshot tree: all five config.json files for step 2, plus
     the cheap component weights (VAE twice, tokenizers)."""
-    work = tmp_path_factory.mktemp("bring_up_work")
+    work = workdir / "snapshots_work"
+    work.mkdir()
     snap = work / "snapshots"
     s = snap / "stabilityai__stable-diffusion-xl-base-1.0"
 
@@ -111,8 +132,8 @@ def _run_script(work, ckpt_dir, components, timeout=1500, extra_env=None):
     )
 
 
-def test_bring_up_vae_tokenizer_dryrun(mock_snap, tmp_path):
-    ckpt = tmp_path / "ckpt"
+def test_bring_up_vae_tokenizer_dryrun(mock_snap, workdir):
+    ckpt = workdir / "ckpt_vae_tok"
     r = _run_script(mock_snap, ckpt, "vae tokenizer")
     assert r.returncode == 0, r.stdout + r.stderr
     # step 2 verified every vendored fixture
@@ -131,7 +152,7 @@ def test_bring_up_vae_tokenizer_dryrun(mock_snap, tmp_path):
     assert "bring-up complete" in r.stdout
 
 
-def test_bring_up_detects_config_drift(mock_snap, tmp_path):
+def test_bring_up_detects_config_drift(mock_snap, workdir):
     """A drifted upstream config must abort the bring-up before conversion."""
     drifted = dict(V.SSD1B_UNET_CONFIG)
     drifted["layers_per_block"] = 3
@@ -141,7 +162,7 @@ def test_bring_up_detects_config_drift(mock_snap, tmp_path):
     orig = path.read_text()
     try:
         path.write_text(json.dumps(drifted))
-        r = _run_script(mock_snap, tmp_path / "ckpt", "vae tokenizer")
+        r = _run_script(mock_snap, workdir / "ckpt_drift", "vae tokenizer")
         assert r.returncode != 0
         assert "DRIFT in SSD-1B unet" in r.stdout, r.stdout
         assert "hf_vendored.py" in r.stdout  # remediation hint prints
@@ -150,7 +171,7 @@ def test_bring_up_detects_config_drift(mock_snap, tmp_path):
 
 
 @pytest.mark.slow
-def test_bring_up_full_dryrun(mock_snap, tmp_path):
+def test_bring_up_full_dryrun(mock_snap, workdir):
     """Every step-3 component converts from mocked snapshots, including the
     1.3 B-param SSD-1B UNet, both ControlNets, CLIP towers, and the torch
     .pth metric backbones (several minutes of zero-tensor IO)."""
@@ -216,7 +237,7 @@ def test_bring_up_full_dryrun(mock_snap, tmp_path):
         snap / "lpips_squeeze_v0.1.pth",
     )
 
-    ckpt = tmp_path / "ckpt"
+    ckpt = workdir / "ckpt_full"
     r = _run_script(
         mock_snap, ckpt, "unet controlnet vae text metrics tokenizer",
         timeout=3600,
