@@ -86,7 +86,13 @@ class GroupNorm(nn.Module):
             # Fused-resnet prologue path: return per-(batch, channel) f32
             # (scale, shift) folding the GN statistics with gamma/beta; the
             # normalize(+act) map itself runs inside the consuming conv
-            # kernel's VMEM tile (ops/conv_fused.conv3x3_fused).
+            # kernel's VMEM tile (ops/conv_fused.conv3x3_fused), which
+            # applies SiLU unconditionally — refuse to silently drop a
+            # different activation.
+            assert self.act == "silu", (
+                "scale_shift prologue consumers hardcode SiLU; "
+                f"this GroupNorm has act={self.act!r}"
+            )
             from fastedit_tpu.ops.groupnorm import group_norm_scale_shift
 
             return group_norm_scale_shift(

@@ -75,6 +75,15 @@ def _conv_kernel(xp_hbm, w_ref, b_ref, o_ref, xs2, sem2, *, ht, width, act):
     o_ref[0] = acc.reshape(ht, width, co).astype(o_ref.dtype)
 
 
+# Shared accounted-VMEM budget for kernel tile selection.  Mosaic stacks
+# staging copies on top of the accounted buffers (~2x headroom observed),
+# so pallas_calls raise vmem_limit_bytes well above this; v5e has 128 MB
+# of VMEM per core.  conv_fused.py and flash_attention.py gate on the
+# SAME constant so a retune (e.g. another TPU generation) cannot leave a
+# kernel family on a stale budget.
+VMEM_TILE_BUDGET = 13 * 1024 * 1024
+
+
 def _pick_tiles(h: int, w: int, cin: int, cout: int, itemsize: int):
     """(Ht, Co) fitting a ~13 MB accounted-VMEM budget.
 
@@ -98,7 +107,7 @@ def _pick_tiles(h: int, w: int, cin: int, cout: int, itemsize: int):
             acc_bytes = ht * w * co * 4
             out_bytes = ht * w * co * itemsize
             w_bytes = 9 * cin * co * itemsize
-            if xs_bytes + acc_bytes + out_bytes + w_bytes <= 13 * 1024 * 1024:
+            if xs_bytes + acc_bytes + out_bytes + w_bytes <= VMEM_TILE_BUDGET:
                 return ht, co
     return None
 

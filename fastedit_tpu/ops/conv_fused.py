@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fastedit_tpu.ops import flags
 
-_BUDGET = 13 * 1024 * 1024  # accounted-VMEM budget (see conv3x3._pick_tiles)
+from fastedit_tpu.ops.conv3x3 import VMEM_TILE_BUDGET as _BUDGET
 
 
 def _apply_prologue(xs, pre_row, *, ht, width, h, ih):

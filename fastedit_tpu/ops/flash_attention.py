@@ -292,7 +292,7 @@ def _pick_blocks_packed(
     sq: int, skv: int, itemsize: int = 2
 ) -> Optional[tuple[int, int]]:
     """(block_q, block_kv) for the packed kernel, VMEM-accounted."""
-    budget = 13 * 1024 * 1024
+    from fastedit_tpu.ops.conv3x3 import VMEM_TILE_BUDGET as budget
     for bkv in (1024, 512, 256, 128):
         if skv % bkv:
             continue

@@ -72,8 +72,12 @@ def group_norm_scale_shift(
     assert c % g == 0
     xf = x.astype(jnp.float32).reshape(b, h * w, g, c // g)
     mean = jnp.mean(xf, axis=(1, 3))  # [B, G]
-    sqmean = jnp.mean(jnp.square(xf), axis=(1, 3))
-    var = jnp.maximum(sqmean - jnp.square(mean), 0.0)
+    # Two-pass variance, matching group_norm_xla: the single-pass
+    # E[x^2]-E[x]^2 form cancels catastrophically in f32 when |mean| >>
+    # std (late decoder blocks), and the fused path is default-on there.
+    var = jnp.mean(
+        jnp.square(xf - mean[:, None, :, None]), axis=(1, 3)
+    )
     rstd = jax.lax.rsqrt(var + eps)
     mean_c = jnp.repeat(mean, c // g, axis=1)  # [B, C]
     rstd_c = jnp.repeat(rstd, c // g, axis=1)

@@ -115,6 +115,7 @@ def _run_script(work, ckpt_dir, components, timeout=1500, extra_env=None):
     env = dict(os.environ)
     env.update(
         SKIP_DOWNLOAD="1",
+        SKIP_GOLDENS="1",
         MODEL="ssd-1b",
         DTYPE="bf16",
         COMPONENTS=components,
@@ -146,9 +147,11 @@ def test_bring_up_vae_tokenizer_dryrun(mock_snap, workdir):
     assert (ckpt / "vae-fp32" / "weights.safetensors").exists()
     assert (ckpt / "tokenizer" / "vocab.json").exists()
     assert (ckpt / "tokenizer_2" / "merges.txt").exists()
-    # steps 4/5 took their documented skip branches
-    assert "diffusers not installed" in r.stdout
-    assert "PIE-Bench not found" in r.stdout
+    # steps 4/5 took their documented skip branches (SKIP_GOLDENS makes
+    # step 4 deterministic whether or not diffusers is installed; step 5
+    # refuses to run the parity gate on a COMPONENTS subset)
+    assert "skipping golden capture" in r.stdout
+    assert "COMPONENTS subset run" in r.stdout
     assert "bring-up complete" in r.stdout
 
 

@@ -28,9 +28,6 @@ import jax
 import jax.numpy as jnp
 
 from fastedit_tpu.models import configs as C
-from fastedit_tpu.models.controlnet import ControlNetModel
-from fastedit_tpu.models.unet import UNet2DConditionModel
-from fastedit_tpu.models.vae import AutoencoderKL
 from fastedit_tpu.tools import hf_config, hf_inventory as I, hf_mapping as M
 from fastedit_tpu.tools import hf_vendored as V
 

@@ -22,6 +22,7 @@
 # Env:
 #   MODEL=ssd-1b|sdxl (default ssd-1b)    DTYPE=bf16|fp16|fp32 (default bf16)
 #   PIE_BENCH_DIR=path to PIE-Bench_v1 (for step 5; skipped if absent)
+#   SKIP_GOLDENS=1    skip step 4 (golden capture) even with diffusers
 #   SKIP_DOWNLOAD=1   reuse snapshots already under $WORK/snapshots
 #                     (resume after a partial run; also how the CI dry-run
 #                     executes this script against mocked snapshots —
@@ -203,7 +204,9 @@ PY
 fi
 
 echo "=== [4/5] golden activation capture + compare (torch reference stack)"
-if python -c "import diffusers" 2>/dev/null; then
+if [ "${SKIP_GOLDENS:-0}" = "1" ]; then
+  echo "  SKIP_GOLDENS=1 — skipping golden capture"
+elif python -c "import diffusers" 2>/dev/null; then
   if [ "$MODEL" = "ssd-1b" ]; then
     UNET_SRC="$SNAP/latent-consistency__lcm-ssd-1b/unet"
     UNET_CKPT="$CKPT/ssd-1b/unet"
@@ -212,7 +215,9 @@ if python -c "import diffusers" 2>/dev/null; then
     # BASE unet against a separately converted unfused checkpoint.
     UNET_SRC="$S/unet"
     UNET_CKPT="$CKPT/sdxl/unet-base-golden"
-    $CONV unet --src "$UNET_SRC" --out "$UNET_CKPT" --dtype "$DTYPE"
+    if has unet; then
+      $CONV unet --src "$UNET_SRC" --out "$UNET_CKPT" --dtype "$DTYPE"
+    fi
   fi
   declare -A GSRC=(
     [unet]="$UNET_SRC"
@@ -228,7 +233,20 @@ if python -c "import diffusers" 2>/dev/null; then
     [text_encoder]="$CKPT/text_encoder"
     [text_encoder_2]="$CKPT/text_encoder_2"
   )
+  # Which COMPONENTS entry owns each golden kind — a subset run (the
+  # COMPONENTS resume workflow) must only compare checkpoints it built.
+  declare -A GCOMP=(
+    [unet]=unet
+    [controlnet]=controlnet
+    [vae]=vae
+    [text_encoder]=text
+    [text_encoder_2]=text
+  )
   for kind in unet controlnet vae text_encoder text_encoder_2; do
+    if ! has "${GCOMP[$kind]}"; then
+      echo "  (skipping $kind goldens — '${GCOMP[$kind]}' not in COMPONENTS)"
+      continue
+    fi
     python -m fastedit_tpu.tools.capture_goldens capture --kind "$kind" \
       --src "${GSRC[$kind]}" --out "$WORK/goldens/$kind.npz"
     python -m fastedit_tpu.tools.capture_goldens compare --kind "$kind" \
@@ -242,7 +260,14 @@ fi
 
 echo "=== [5/5] 20-image PIE-Bench parity gate"
 PIE="${PIE_BENCH_DIR:-$REPO/data/PIE-Bench_v1}"
-if [ -d "$PIE" ]; then
+FULL=1
+for c in unet controlnet vae text tokenizer metrics; do
+  has "$c" || FULL=0
+done
+if [ "$FULL" = "0" ]; then
+  echo "  (COMPONENTS subset run — parity gate needs every component;"
+  echo "   re-run with the full set to execute it)"
+elif [ -d "$PIE" ]; then
   python run_batch.py --model "$MODEL" --mapping_file "$PIE/mapping_file.json" \
     --source_dir "$PIE/annotation_images" --output_dir "$WORK/parity" \
     --checkpoint_dir "$CKPT" --num_images 20
