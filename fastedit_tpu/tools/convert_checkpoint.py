@@ -104,6 +104,16 @@ def convert_component(kind: str, src: str, out: str, dtype: str = "bf16",
         params = hf_mapping.convert_vae(sd, cfg, strict=True)
     elif kind in ("text_encoder", "text_encoder_2", "clip_text"):
         cfg_json = load_hf_config(src)
+        if "text_config" in cfg_json:
+            # combined CLIPModel repo (the CLIPScore backbone,
+            # openai/clip-vit-base-patch16): the text tower's config is
+            # nested and projection_dim lives at the top level — mirror the
+            # clip_vision branch's unwrap (convert_clip_text already
+            # tolerates the extra vision-tower keys in the state dict).
+            cfg_json = dict(
+                cfg_json["text_config"],
+                projection_dim=cfg_json.get("projection_dim", 512),
+            )
         with_proj = kind != "text_encoder" or "text_projection.weight" in sd
         cfg = hf_config.clip_text_config_from_hf(cfg_json, with_projection=with_proj)
         params = hf_mapping.convert_clip_text(sd, cfg, strict=True)

@@ -35,6 +35,30 @@ import jax.numpy as jnp  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="also run tests marked slow (several minutes each: the "
+        "full-size bring-up dry-run, full-size converter roundtrips, the "
+        "bf16-vs-fp32 end-to-end drift gate)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default run stays under the wall-time budget (round-2 verdict Next
+    #6): slow-marked tests are SKIPPED (visibly, with a reason) unless
+    ``--runslow`` or RUN_SLOW=1 opts in.  bench/verify recipes and the
+    pre-release checklist run with --runslow."""
+    if config.getoption("--runslow") or os.environ.get("RUN_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow: opt in with --runslow / RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def tiny_editor_f32():
     """One tiny fp32 editor shared by every test module (init ~minutes on

@@ -152,3 +152,64 @@ def test_config_roundtrip(tmp_path):
     ckpt_io.save_config(str(tmp_path / "c"), C.TINY_CONTROLNET)
     loaded = ckpt_io.load_config(str(tmp_path / "c"), C.ControlNetConfig)
     assert loaded == C.TINY_CONTROLNET
+
+
+def test_clip_text_convert_from_combined_clipmodel_repo(tmp_path):
+    """The CLIPScore backbone (openai/clip-vit-base-patch16) ships ONE
+    CLIPModel repo: nested text_config + top-level projection_dim + a state
+    dict that also carries the vision tower.  convert_component('clip_text')
+    must unwrap the nested config (regression: KeyError 'vocab_size') and
+    leave the vision keys to the allowed-unused list."""
+    import json as _json
+    import os as _os
+
+    transformers = pytest.importorskip("transformers")
+    from accelerate import init_empty_weights
+    from safetensors.numpy import save_file
+
+    from fastedit_tpu.tools.convert_checkpoint import convert_component
+
+    tiny = {
+        "projection_dim": 16,
+        "text_config": {
+            "vocab_size": 99,
+            "hidden_size": 32,
+            "intermediate_size": 64,
+            "num_hidden_layers": 2,
+            "num_attention_heads": 2,
+            "max_position_embeddings": 77,
+            "hidden_act": "quick_gelu",
+        },
+        "vision_config": {
+            "image_size": 32,
+            "patch_size": 16,
+            "hidden_size": 32,
+            "intermediate_size": 64,
+            "num_hidden_layers": 2,
+            "num_attention_heads": 2,
+            "hidden_act": "quick_gelu",
+        },
+    }
+    src = tmp_path / "b16"
+    src.mkdir()
+    (src / "config.json").write_text(_json.dumps(tiny))
+    cfg = transformers.CLIPConfig(
+        projection_dim=tiny["projection_dim"],
+        text_config=tiny["text_config"],
+        vision_config=tiny["vision_config"],
+    )
+    with init_empty_weights():
+        model = transformers.CLIPModel(cfg)
+    save_file(
+        {
+            k: np.zeros(tuple(v.shape), np.float16)
+            for k, v in model.state_dict().items()
+        },
+        str(src / "model.safetensors"),
+    )
+    out = tmp_path / "out"
+    convert_component("clip_text", str(src), str(out), dtype="fp32")
+    assert _os.path.exists(out / "weights.safetensors")
+    saved_cfg = _json.loads((out / "config.json").read_text())
+    assert saved_cfg["vocab_size"] == 99
+    assert saved_cfg["projection_dim"] == 16
