@@ -56,8 +56,16 @@ def save_params(path: str, params: Dict[str, Any], dtype=None) -> None:
     """Save a (possibly nested) param tree to ``<path>/weights.safetensors``."""
     os.makedirs(path, exist_ok=True)
     flat = flatten(params)
+    # The installed safetensors serializes the raw base buffer
+    # (data_ptr + nbytes) WITHOUT checking contiguity, so an F-ordered or
+    # transposed array round-trips silently corrupted.  astype's default
+    # order='K' PRESERVES F-order, so both branches must force C layout.
+    # (hf_mapping independently ascontiguousarray's its transposes; this
+    # guards every other save_params caller.)
     if dtype is not None:
-        flat = {k: np.asarray(v).astype(dtype) for k, v in flat.items()}
+        flat = {k: np.asarray(v).astype(dtype, order="C") for k, v in flat.items()}
+    else:
+        flat = {k: np.ascontiguousarray(v) for k, v in flat.items()}
     save_file(flat, os.path.join(path, "weights.safetensors"))
 
 

@@ -213,3 +213,16 @@ def test_clip_text_convert_from_combined_clipmodel_repo(tmp_path):
     saved_cfg = _json.loads((out / "config.json").read_text())
     assert saved_cfg["vocab_size"] == 99
     assert saved_cfg["projection_dim"] == 16
+
+
+def test_save_params_non_contiguous_roundtrip(tmp_path):
+    """The installed safetensors serializes data_ptr+nbytes without a
+    contiguity check, so a transposed view would round-trip silently
+    corrupted; save_params must defend in BOTH dtype modes."""
+    t = np.arange(12, dtype=np.float32).reshape(3, 4).T  # non-contiguous
+    assert not t.flags["C_CONTIGUOUS"]
+    for dtype in (None, np.float32):
+        out = tmp_path / f"nc_{dtype is None}"
+        ckpt_io.save_params(str(out), {"w": t}, dtype=dtype)
+        back = ckpt_io.load_params(str(out))
+        np.testing.assert_array_equal(back["w"], t)
