@@ -31,6 +31,43 @@ def main():
     from PIL import Image
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    # Device-discovery watchdog: when the remote-TPU relay is down, the
+    # first jax call blocks indefinitely (observed >300 s with no error).
+    # Fail fast with a diagnostic JSON line instead of hanging the harness.
+    # Discovery normally completes in seconds; compile time (minutes) is
+    # AFTER this and unaffected.  Tune via BENCH_DEVICE_TIMEOUT_S.
+    import threading
+
+    probe_done = threading.Event()
+
+    def _watchdog():
+        timeout = float(os.environ.get("BENCH_DEVICE_TIMEOUT_S", "600"))
+        if not probe_done.wait(timeout):
+            print(
+                json.dumps(
+                    {
+                        "metric": "seconds_per_edit",
+                        "value": None,
+                        "unit": "s",
+                        "vs_baseline": None,
+                        "error": (
+                            f"device discovery did not complete in "
+                            f"{timeout:.0f}s (TPU relay unreachable)"
+                        ),
+                    }
+                ),
+                flush=True,
+            )
+            os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    import jax
+
+    devs = jax.devices()
+    probe_done.set()
+    print(f"[bench] devices: {devs}", file=sys.stderr)
+
     from fastedit_tpu import FastEditor
 
     t0 = time.time()
