@@ -103,7 +103,8 @@ def _pick_tiles(h: int, w: int, cin: int, cout: int, itemsize: int):
         for ht in (32, 16, 8, 4):
             if h % ht:
                 continue
-            xs_bytes = 2 * (ht + 2) * (w + 2) * cin * itemsize  # double-buffered
+            # double-buffered; the call pads columns to a lane multiple
+            xs_bytes = 2 * (ht + 2) * (-(-(w + 2) // 8) * 8) * cin * itemsize
             acc_bytes = ht * w * co * 4
             out_bytes = ht * w * co * itemsize
             w_bytes = 9 * cin * co * itemsize

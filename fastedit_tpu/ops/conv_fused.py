@@ -145,7 +145,9 @@ def _pick_tiles_fused(h, w, cin, cout, itemsize, has_skip):
         for ht in (32, 16, 8, 4):
             if h % ht:
                 continue
-            xs_bytes = 2 * (ht + 2) * (w + 2) * cin * itemsize  # double-buffered
+            # double-buffered; _fused_call pads columns to a lane multiple
+            wp = -(-(w + 2) // 8) * 8
+            xs_bytes = 2 * (ht + 2) * wp * cin * itemsize
             acc_bytes = ht * w * co * 4
             out_bytes = ht * w * co * itemsize
             w_bytes = 9 * cin * co * itemsize
@@ -381,7 +383,8 @@ def _pick_tiles_up2(h, w, cin, cout, itemsize):
         for ht in (16, 8, 4, 2):
             if h % ht:
                 continue
-            xs_bytes = 2 * (ht + 2) * (w + 2) * cin * itemsize
+            # double-buffered; _up2_call pads columns to a lane multiple
+            xs_bytes = 2 * (ht + 2) * (-(-(w + 2) // 8) * 8) * cin * itemsize
             # 4 phase accumulators materialize sequentially but budget 2 + the
             # interleave temporaries (~2 out-tiles in f32)
             acc_bytes = 4 * ht * w * co * 4

@@ -142,7 +142,11 @@ def resolve_fused_denoise() -> tuple[bool, bool]:
     CFG-batch-2 shapes (microbench 0.84-0.99x) — its GN stats pass reads
     the conv input twice, which the loop's layout can't hide — so the
     denoise default is up2 ON, resnet-fusion OFF.  Explicit FLAGS
-    settings override the defaults in both directions.
+    settings override these defaults, but the Pallas-conv context flag
+    still gates both fusions: when use_pallas_conv resolves False for
+    this context, the fused kernels stay off regardless (the fusions are
+    implemented inside the Pallas conv; there is no XLA-conv variant of
+    them).
     """
     on = use_pallas_conv_denoise()
     resnet = (
@@ -154,7 +158,8 @@ def resolve_fused_denoise() -> tuple[bool, bool]:
 
 def resolve_fused_decode() -> tuple[bool, bool]:
     """(use_fused_resnet, use_fused_up2) inside the VAE decoder: both ON
-    by default — 82.0 ms vs 98.4 XLA (see use_pallas_conv_decode)."""
+    by default — 82.0 ms vs 98.4 XLA (see use_pallas_conv_decode).
+    As in resolve_fused_denoise, the context conv flag gates both."""
     on = use_pallas_conv_decode()
     resnet = (
         FLAGS.use_fused_resnet if FLAGS.use_fused_resnet is not None else on

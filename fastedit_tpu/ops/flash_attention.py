@@ -316,6 +316,8 @@ def _pick_blocks_packed(
 
 def supports_packed(q_shape, kv_len: int, itemsize: int = 2) -> bool:
     """Head-packed kernel: pairs of 64-dim heads, both MXU dims full."""
+    if len(q_shape) != 4:
+        return False
     b, sq, h, d = q_shape
     if d != 64 or h % 2 != 0:
         return False

@@ -89,12 +89,30 @@ def run_batch_data_parallel(args, editor, selected: List[Tuple[str, dict]],
         os.makedirs(os.path.dirname(output_path), exist_ok=True)
         img.save(output_path)
 
+    def drain_saves(block: bool) -> None:
+        """Tally finished writer futures so save errors (disk full, bad
+        path) surface promptly during the sweep, not only at the end."""
+        nonlocal processed, failed
+        remaining = []
+        for image_id, fut in save_futures:
+            if not block and not fut.done():
+                remaining.append((image_id, fut))
+                continue
+            try:
+                fut.result()
+                processed += 1
+            except Exception as e:  # noqa: BLE001 - per-image isolation
+                print(f"\nError saving {image_id} ({type(e).__name__}): {e}")
+                failed += 1
+        save_futures[:] = remaining
+
     def finalize(p) -> int:
         """Materialize a finished chunk's images; hand saves to the writer.
 
         Accounting: ``bad`` slots were load failures (already isolated);
         device/readback failure counts only the slots not already failed;
-        save failures are tallied per image when the writer futures drain.
+        save failures are tallied per image as the writer futures drain
+        (completed ones per chunk, the rest at the end of the sweep).
         """
         nonlocal failed
         chunk, real, bad, handle = p
@@ -160,16 +178,11 @@ def run_batch_data_parallel(args, editor, selected: List[Tuple[str, dict]],
         # chunk i was uploading/computing.
         if pending is not None:
             pbar.update(finalize(pending))
+            drain_saves(block=False)
         pending = (chunk, real, bad, handle)
     if pending is not None:
         pbar.update(finalize(pending))
-    for image_id, fut in save_futures:
-        try:
-            fut.result()
-            processed += 1
-        except Exception as e:  # noqa: BLE001 - per-image isolation
-            print(f"\nError saving {image_id} ({type(e).__name__}): {e}")
-            failed += 1
+    drain_saves(block=True)
     loader.shutdown()
     writer.shutdown()
     total_time = time.time() - t_sweep

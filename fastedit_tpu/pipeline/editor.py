@@ -478,7 +478,11 @@ class FastEditor:
             # Pre-resized uint8 batch [B, r, r, 3] — sweeps prepare chunks in
             # a background thread (parallel/batch.py) so the per-chunk PIL
             # decode+LANCZOS cost is off the critical path.
-            assert images.shape[1:] == (r, r, 3) and images.dtype == np.uint8
+            if images.shape[1:] != (r, r, 3) or images.dtype != np.uint8:
+                raise ValueError(
+                    f"pre-resized batch must be uint8 of shape (B, {r}, {r}, 3); "
+                    f"got {images.dtype} {images.shape}"
+                )
             img_u8 = images
         else:
             img_u8 = np.stack(
