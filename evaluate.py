@@ -93,42 +93,58 @@ def main(argv=None):
             continue
         work.append((image_id, entry, source_path, output_path))
 
+    def load_512(path):
+        # Metrics convention: both at 512x512 LANCZOS (reference
+        # evaluate.py:127-130).
+        return Image.open(path).convert("RGB").resize((512, 512), Image.LANCZOS)
+
+    def row(image_id, entry, m):
+        return {
+            "image_id": image_id,
+            "image_path": entry["image_path"],
+            "editing_type_id": entry.get("editing_type_id", "unknown"),
+            "editing_prompt": entry.get("editing_prompt", ""),
+            **m,
+        }
+
+    def eval_one(image_id, entry, sp, op):
+        m = calc.calculate_all_metrics(
+            load_512(sp), load_512(op), entry.get("editing_prompt", "")
+        )
+        return row(image_id, entry, m)
+
     rows = []
     bs = max(1, args.batch_size)
     pbar = tqdm(total=len(work), desc="Evaluating")
     for start in range(0, len(work), bs):
         chunk = work[start : start + bs]
-        try:
-            sources, editeds, prompts = [], [], []
-            for _, entry, sp, op in chunk:
-                # Metrics convention: both at 512x512 LANCZOS (reference
-                # evaluate.py:127-130).
-                sources.append(
-                    Image.open(sp).convert("RGB").resize((512, 512), Image.LANCZOS)
-                )
-                editeds.append(
-                    Image.open(op).convert("RGB").resize((512, 512), Image.LANCZOS)
-                )
-                prompts.append(entry.get("editing_prompt", ""))
-            if bs == 1:
-                metrics = [
-                    calc.calculate_all_metrics(sources[0], editeds[0], prompts[0])
-                ]
-            else:
+        chunk_rows = None
+        if bs > 1:
+            try:
+                sources, editeds, prompts = [], [], []
+                for _, entry, sp, op in chunk:
+                    sources.append(load_512(sp))
+                    editeds.append(load_512(op))
+                    prompts.append(entry.get("editing_prompt", ""))
                 metrics = calc.calculate_all_metrics_batch(sources, editeds, prompts)
-            for (image_id, entry, _, _), m in zip(chunk, metrics):
-                rows.append(
-                    {
-                        "image_id": image_id,
-                        "image_path": entry["image_path"],
-                        "editing_type_id": entry.get("editing_type_id", "unknown"),
-                        "editing_prompt": entry.get("editing_prompt", ""),
-                        **m,
-                    }
-                )
-        except Exception as e:
-            print(f"\n      Error processing batch at {start}: {e}")
-            skipped += len(chunk)
+                chunk_rows = [
+                    row(image_id, entry, m)
+                    for (image_id, entry, _, _), m in zip(chunk, metrics)
+                ]
+            except Exception as e:
+                # Per-image isolation (reference evaluate.py:113-119): one
+                # corrupt file must cost one row, not the whole chunk.
+                print(f"\n      Error processing batch at {start}: {e} — "
+                      f"retrying this chunk per image")
+        if chunk_rows is None:
+            chunk_rows = []
+            for item in chunk:
+                try:
+                    chunk_rows.append(eval_one(*item))
+                except Exception as e:
+                    print(f"\n      Error processing {item[0]}: {e}")
+                    skipped += 1
+        rows.extend(chunk_rows)
         pbar.update(len(chunk))
     pbar.close()
 
