@@ -105,14 +105,25 @@ def main():
     # which is what the sweep's background loader thread hands the editor
     # (the per-chunk PIL decode+LANCZOS cost is off the critical path
     # there; prompts stay novel per chunk so text encoding is measured).
+    # Uploads are double-buffered exactly as the sweep does it: a staging
+    # thread device_puts chunk i+1's uint8 batch while chunk i computes
+    # (editor.stage_inputs <- parallel/batch._load_chunk), so the ~12 MB
+    # relay upload is off the dispatch critical path.
+    from concurrent.futures import ThreadPoolExecutor
+
     chunk_u8 = np.stack([np.asarray(im, dtype=np.uint8) for im in imgs])
     nchunks = 6
+    stager = ThreadPoolExecutor(max_workers=1, thread_name_prefix="stage")
     t0 = time.time()
     marks = []
     pending = None
+    staged = stager.submit(editor.stage_inputs, chunk_u8)
     for i in range(nchunks):
+        inputs = staged.result()
+        if i + 1 < nchunks:
+            staged = stager.submit(editor.stage_inputs, chunk_u8)
         handle = editor.edit_batch_async(
-            chunk_u8, [f"a prompt {i} variant {j}" for j in range(4)], seed=i
+            inputs, [f"a prompt {i} variant {j}" for j in range(4)], seed=i
         )
         if pending is not None:
             pending.result()
@@ -120,6 +131,7 @@ def main():
         pending = handle
     pending.result()
     marks.append(time.time() - t0)
+    stager.shutdown()
     # Steady state excludes the first chunk: the first timed dispatch of a
     # phase runs ~2-3x slow through the relay (same warm-up artifact the
     # bench_conv A/B harnesses burn a throwaway arm on).

@@ -28,13 +28,18 @@ from fastedit_tpu import harness
 from fastedit_tpu.utils.image import resize
 
 
-def _load_chunk(padded, resolution: int):
+def _load_chunk(padded, resolution: int, stage=None):
     """Decode+resize one padded chunk to a uint8 batch on a worker thread.
 
     Per-image isolation: a failed decode is recorded in ``bad`` and its slot
     filled with a neighbor image so the device batch shape is unaffected
     (the slot's output is simply never saved).  Returns ``(None, bad)`` if
     every image in the chunk failed.
+
+    When ``stage`` (editor.stage_inputs) is given, the chunk is also
+    device-placed here on the loader thread — chunk i+1's host->device
+    upload overlaps chunk i's compute, keeping two device input buffers
+    alive (double-buffered uploads, round-3 verdict Next #3).
     """
     arrs: List[Optional[np.ndarray]] = []
     bad = {}
@@ -48,7 +53,8 @@ def _load_chunk(padded, resolution: int):
     fill = next((a for a in arrs if a is not None), None)
     if fill is None:
         return None, bad
-    return np.stack([a if a is not None else fill for a in arrs]), bad
+    batch = np.stack([a if a is not None else fill for a in arrs])
+    return (stage(batch) if stage is not None else batch), bad
 
 
 def run_batch_data_parallel(args, editor, selected: List[Tuple[str, dict]],
@@ -137,7 +143,9 @@ def run_batch_data_parallel(args, editor, selected: List[Tuple[str, dict]],
         real = len(chunk)
         padded = chunk + [chunk[-1]] * (chunk_size - real)  # pad, drop later
         if ci == 0:
-            load_fut = loader.submit(_load_chunk, padded, editor.resolution)
+            load_fut = loader.submit(
+                _load_chunk, padded, editor.resolution, editor.stage_inputs
+            )
         images, bad = load_fut.result()
         for idx, e in bad.items():
             if idx < real:
@@ -150,6 +158,7 @@ def run_batch_data_parallel(args, editor, selected: List[Tuple[str, dict]],
                 _load_chunk,
                 nxt + [nxt[-1]] * (chunk_size - len(nxt)),
                 editor.resolution,
+                editor.stage_inputs,
             )
         if images is None:  # every image in the chunk failed to load
             pbar.update(real)

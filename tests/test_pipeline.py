@@ -188,6 +188,42 @@ def test_device_constant_caches(editor):
     assert editor._cached_schedule(4, 0.8) is not sched1
 
 
+def test_edit_batch_staged_inputs_match(editor):
+    """stage_inputs (the sweep loader thread's pre-upload) + edit_batch
+    reproduces the numpy-batch path exactly, single-device and under DP."""
+    from fastedit_tpu.utils.image import resize
+
+    imgs = [_img(30), _img(31)]
+    prompts = ["a red bicycle", "a blue car"]
+    u8 = np.stack(
+        [
+            np.asarray(resize(im.convert("RGB"), editor.resolution), dtype=np.uint8)
+            for im in imgs
+        ]
+    )
+    ref = editor.edit_batch(u8, prompts, seed=7)
+    staged = editor.stage_inputs(u8)
+    assert isinstance(staged, jax.Array) and staged.dtype == jnp.uint8
+    out = editor.edit_batch(staged, prompts, seed=7)
+    for a, b in zip(ref, out):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    editor.enable_data_parallel()
+    try:
+        staged_dp = editor.stage_inputs(np.concatenate([u8] * 4))
+        assert len(staged_dp.sharding.device_set) == 8
+        out_dp = editor.edit_batch(staged_dp, prompts * 4, seed=7)
+    finally:
+        editor.mesh = None
+        editor._rebuild_stages()
+    assert len(out_dp) == 8
+    for a, b in zip(ref * 4, out_dp):
+        _assert_images_close(a, b)
+
+    with pytest.raises(ValueError):
+        editor.stage_inputs(np.zeros((2, 3, 3, 3), dtype=np.uint8))
+
+
 def test_edit_batch_async_matches_sync(editor):
     """edit_batch_async + result() reproduces edit_batch exactly (same
     program, deferred readback)."""
