@@ -15,10 +15,9 @@ bigG) pads with token 0 — ``pad_token_id`` is a constructor arg.
 from __future__ import annotations
 
 import functools
-import html
 import json
 import os
-import re
+import unicodedata
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -46,12 +45,77 @@ def _get_pairs(word: Tuple[str, ...]) -> set:
     return {(a, b) for a, b in zip(word, word[1:])}
 
 
-# CLIP's splitting pattern, with Python-re-compatible unicode classes.
-_PAT = re.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
-    r"|[^\s\d\W]+|\d|[^\s\w]+",
-    re.IGNORECASE,
-)
+_SPECIALS = ("<|startoftext|>", "<|endoftext|>")
+_CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+
+
+def _is_cjk(cp: int) -> bool:
+    """CJK Unified Ideographs blocks (BERT BasicTokenizer definition)."""
+    return (
+        0x4E00 <= cp <= 0x9FFF
+        or 0x3400 <= cp <= 0x4DBF
+        or 0x20000 <= cp <= 0x2A6DF
+        or 0x2A700 <= cp <= 0x2B73F
+        or 0x2B740 <= cp <= 0x2B81F
+        or 0x2B820 <= cp <= 0x2CEAF
+        or 0xF900 <= cp <= 0xFAFF
+        or 0x2F800 <= cp <= 0x2FA1F
+    )
+
+
+def _split_words(text: str) -> List[str]:
+    r"""CLIP's token-splitting pattern over Unicode general categories.
+
+    The upstream pattern (openai/CLIP simple_tokenizer, used verbatim by
+    transformers' CLIPTokenizer) is, in ``regex``-module syntax::
+
+        <\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d
+        |[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+
+
+    Python's ``re`` cannot express ``\p{L}``/``\p{N}`` (``\w`` wrongly
+    includes ``_``; ``\d`` misses Nl/No number characters like ``½`` or
+    ``Ⅻ``), so the alternation is evaluated by hand with
+    ``unicodedata.category``: specials and contractions as literals at the
+    match position, letter runs, number characters one at a time, and
+    greedy everything-else runs that do NOT re-check for specials mid-run
+    (matching the regex's greedy semantics).  Input is expected lowercased
+    (``_normalize``), mirroring the upstream IGNORECASE + lower() combo.
+    """
+    out: List[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch.isspace():
+            i += 1
+            continue
+        if ch == "<":
+            sp = next((s for s in _SPECIALS if text.startswith(s, i)), None)
+            if sp is not None:
+                out.append(sp)
+                i += len(sp)
+                continue
+        elif ch == "'":
+            c = next((c for c in _CONTRACTIONS if text.startswith(c, i)), None)
+            if c is not None:
+                out.append(c)
+                i += len(c)
+                continue
+        cat = unicodedata.category(ch)[0]
+        if cat == "L":
+            j = i + 1
+            while j < n and unicodedata.category(text[j])[0] == "L":
+                j += 1
+        elif cat == "N":
+            j = i + 1  # numbers split one character at a time
+        else:
+            j = i + 1
+            while j < n and not text[j].isspace() and (
+                unicodedata.category(text[j])[0] not in "LN"
+            ):
+                j += 1
+        out.append(text[i:j])
+        i = j
+    return out
 
 
 class CLIPTokenizer:
@@ -156,14 +220,33 @@ class CLIPTokenizer:
         return out
 
     def _normalize(self, text: str) -> str:
-        text = html.unescape(html.unescape(text))
-        text = re.sub(r"\s+", " ", text).strip()
-        return text.lower()
+        """Mirror transformers' CLIPTokenizer normalization in its no-ftfy
+        configuration — ``BasicTokenizer(strip_accents=False,
+        do_split_on_punc=False)`` — which is what the reference stack runs
+        (ftfy is not among its requirements): drop NUL/U+FFFD and Cc/Cf
+        control chars, collapse whitespace, isolate CJK-block characters,
+        NFC-normalize, lowercase per whitespace token."""
+        cleaned: List[str] = []
+        for ch in text:
+            cp = ord(ch)
+            cat = unicodedata.category(ch)
+            if cp in (0, 0xFFFD) or (
+                cat in ("Cc", "Cf") and ch not in "\t\n\r"
+            ):
+                continue
+            if ch in " \t\n\r" or cat == "Zs":
+                cleaned.append(" ")
+            elif _is_cjk(cp):
+                cleaned.append(f" {ch} ")
+            else:
+                cleaned.append(ch)
+        text = unicodedata.normalize("NFC", "".join(cleaned))
+        return " ".join(t.lower() for t in text.split())
 
     def tokenize(self, text: str) -> List[int]:
         """Raw BPE token ids (no special tokens, no padding)."""
         ids: List[int] = []
-        for token in _PAT.findall(self._normalize(text)):
+        for token in _split_words(self._normalize(text)):
             token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
             ids.extend(
                 self.encoder[t] for t in self._bpe(token).split(" ")

@@ -60,6 +60,14 @@ def test_matches_transformers(vocab_dir):
         "a photo of a cat, 4k",
         "",
         "don't do that",
+        # round-3 verdict Weak #5: Unicode-class divergence cases.
+        "snake_case_name and __dunder__",  # `_` must NOT be letter-class
+        "x2y 123 no.4",                    # digits split one at a time
+        "half ½ and roman Ⅴ",    # No / Nl number chars
+        "café näive",            # non-ASCII letters stay letter runs
+        "it's 'tis y'all can't!!",         # contraction alternations
+        "a--b ... !<|x|> '' 'q",           # greedy punctuation runs
+        "你好 world",              # CJK letter run
     ]:
         ref = hf(
             text,
@@ -69,6 +77,50 @@ def test_matches_transformers(vocab_dir):
         )["input_ids"]
         got = ours.encode(text)
         np.testing.assert_array_equal(got, np.asarray(ref), err_msg=text)
+
+
+def test_real_vocab_goldens():
+    """Assert the staged real-vocab golden encodings once bring_up.sh has
+    filled them (tools/capture_token_goldens.py); skip while unfilled."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    fixture = os.path.join(repo, "tests", "fixtures", "clip_token_goldens.json")
+    with open(fixture, encoding="utf-8") as f:
+        fx = json.load(f)
+    if fx.get("input_ids") is None:
+        pytest.skip(
+            "token goldens not captured yet — requires the real CLIP vocab "
+            "(tools/bring_up.sh on a machine with egress)"
+        )
+    tok_dir = os.path.join(repo, "checkpoints", "tokenizer")
+    if not os.path.exists(os.path.join(tok_dir, "vocab.json")):
+        pytest.skip("converted tokenizer checkpoint not present")
+    tok = CLIPTokenizer.from_dir(tok_dir)
+    for prompt, want in zip(fx["prompts"], fx["input_ids"]):
+        np.testing.assert_array_equal(
+            tok.encode(prompt), np.asarray(want, dtype=np.int32), err_msg=prompt
+        )
+
+
+def test_capture_tool_roundtrip(vocab_dir, tmp_path):
+    """capture_token_goldens fills a fixture and the ids agree with the HF
+    oracle over the same (synthetic) vocab files."""
+    from fastedit_tpu.tools import capture_token_goldens as cap
+
+    fixture = tmp_path / "goldens.json"
+    fixture.write_text(json.dumps({
+        "prompts": ["the cat", "a dog's 2nd bone_toy"],
+        "max_length": 77,
+        "input_ids": None,
+        "oracle": None,
+    }))
+    rc = cap.main(["--tokenizer_dir", vocab_dir, "--fixture", str(fixture)])
+    assert rc == 0
+    fx = json.loads(fixture.read_text())
+    assert fx["oracle"].startswith("transformers.CLIPTokenizer")
+    assert len(fx["input_ids"]) == 2
+    assert all(len(row) == 77 for row in fx["input_ids"])
 
 
 def test_pad_token_override(vocab_dir):

@@ -167,6 +167,10 @@ fi
 if has tokenizer; then
   $CONV tokenizer --src "$S/tokenizer" --out "$CKPT/tokenizer"
   $CONV tokenizer --src "$S/tokenizer_2" --out "$CKPT/tokenizer_2"
+  # Fill the staged token-id goldens (tests/fixtures/clip_token_goldens.json)
+  # from the real vocab, cross-checked against transformers' CLIPTokenizer.
+  python -m fastedit_tpu.tools.capture_token_goldens \
+    --tokenizer_dir "$CKPT/tokenizer"
 fi
 if has metrics; then
 # metric backbones
