@@ -190,6 +190,61 @@ def main():
         file=sys.stderr,
     )
 
+    # Per-stage device breakdown (round-3 verdict Next #2): time the
+    # unfused stage programs with relay-safe syncs so the kernel-level
+    # claims (denoise/decode/encode ms) land in the driver-captured JSON,
+    # not just STATUS prose.  The production edit() runs the fused
+    # single-dispatch program; the per-stage sum is its additive upper
+    # bound.  Guarded: a failure here must not cost the primary metric.
+    stage_ms = None
+    try:
+        from fastedit_tpu.pipeline import stages as stages_lib
+        from fastedit_tpu.sched.lcm import make_schedule
+        from fastedit_tpu.utils.profiling import StageTimer
+
+        timer = StageTimer()
+        u8 = np.asarray(img, dtype=np.uint8)
+        for i in range(4):
+            if i == 1:
+                timer = StageTimer()  # iteration 0 compiles; report 1..3
+            sprompt = f"a rusty bicycle stage {i}"
+            with timer.stage("prepare") as out:
+                control, vae_in = editor._prepare(
+                    jnp.asarray(u8), jnp.float32(100), jnp.float32(200)
+                )
+                out["result"] = (control, vae_in)
+            with timer.stage("encode_prompt") as out:
+                ids1 = jnp.asarray(editor.tokenizer.encode(sprompt))[None]
+                ids2 = jnp.asarray(editor.tokenizer_2.encode(sprompt))[None]
+                sctx, spooled = editor._encode_prompt(ids1, ids2)
+                out["result"] = sctx
+            ctx_u2, pooled_u2 = editor._encode_prompt_cached("")
+            scontext = jnp.concatenate([ctx_u2, sctx])
+            spooled = jnp.concatenate([pooled_u2, spooled])
+            stime_ids = stages_lib.make_sdxl_time_ids(2, editor.resolution)
+            skey = jax.random.PRNGKey(i)
+            skey, k_enc = jax.random.split(skey)
+            with timer.stage("vae_encode") as out:
+                lat = editor._vae_encode(vae_in, k_enc)
+                out["result"] = lat
+            sched = make_schedule(editor.scheduler_config, 4, strength=0.8)
+            with timer.stage("denoise") as out:
+                lat = editor._denoise(
+                    lat, scontext, spooled, stime_ids, control, sched,
+                    jnp.float32(1.5), jnp.float32(0.5), skey, do_cfg=True,
+                )
+                out["result"] = lat
+            with timer.stage("vae_decode") as out:
+                img_dev = editor._vae_decode(lat)
+                out["result"] = img_dev
+        stage_ms = {
+            k: round(1000.0 * timer.totals[k] / timer.counts[k], 1)
+            for k in timer.totals
+        }
+        print(f"[bench] stage breakdown (ms): {stage_ms}", file=sys.stderr)
+    except Exception as e:  # pragma: no cover - bench resilience
+        print(f"[bench] stage phase failed: {e!r}", file=sys.stderr)
+
     # Reference-notebook benchmark config: the Colab run that produced the
     # shipped results used --guidance 1.0 (run_benchmark_colab.ipynb cell
     # 11), which skips CFG at trace time — half the UNet work of the CFG
@@ -249,6 +304,8 @@ def main():
         "device_seconds_per_edit": round(device_s, 4),
         "seconds_per_edit_guidance1_notebook_cfg": round(value_nocfg, 4),
     }
+    if stage_ms:
+        record["stage_ms"] = stage_ms
     if value_sdxl is not None:
         record["sdxl_seconds_per_edit"] = round(value_sdxl, 4)
     if hbm > 0:  # the relay backend does not always expose memory_stats

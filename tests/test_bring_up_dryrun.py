@@ -40,6 +40,23 @@ def _write_sd(d, inv: dict, name="model.safetensors"):
     )
 
 
+def _write_sd_random(d, inv: dict, name="model.safetensors", seed=0):
+    """Random-valued mock weights: zero weights would zero the feature maps
+    and make normalized embeddings 0/0 — the metrics flip test needs fake
+    but non-degenerate values."""
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    save_file(
+        {
+            # np.asarray: standard_normal(()) returns a python float, and
+            # safetensors requires ndarrays (logit_scale is 0-d).
+            k: np.asarray(rng.standard_normal(s) * 0.05, dtype=np.float16)
+            for k, s in inv.items()
+        },
+        os.path.join(d, name),
+    )
+
+
 def _write_tokenizer(d):
     os.makedirs(d, exist_ok=True)
     chars = "abcdefghijklmnopqrstuvwxyz"
@@ -171,6 +188,102 @@ def test_bring_up_detects_config_drift(mock_snap, workdir):
         assert "hf_vendored.py" in r.stdout  # remediation hint prints
     finally:
         path.write_text(orig)
+
+
+@pytest.mark.slow
+def test_bring_up_metrics_dryrun_flips_evaluate_non_nan(mock_snap, workdir):
+    """Metrics-only bring-up from mocked (random-valued) snapshots, then the
+    NaN -> real-values flip: evaluate.py pointed at the converted metric
+    checkpoints must emit non-NaN LPIPS/CLIP/DINO WITHOUT
+    --allow_random_metrics (round-3 verdict Next #8).  Values are
+    meaningless (fake weights); only the end-to-end enablement is under
+    test."""
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    snap = mock_snap / "snapshots"
+    b16 = snap / "openai__clip-vit-base-patch16"
+    cfg_b16 = transformers.CLIPConfig(
+        projection_dim=V.CLIP_B16_CONFIG["projection_dim"],
+        text_config=V.CLIP_B16_CONFIG["text_config"],
+        vision_config=V.CLIP_B16_CONFIG["vision_config"],
+    )
+    _write_config(b16, V.CLIP_B16_CONFIG)
+    _write_sd_random(
+        b16, _torch_meta_sd(lambda: transformers.CLIPModel(cfg_b16)), seed=1
+    )
+    _write_tokenizer(b16)
+
+    rng = np.random.default_rng(2)
+
+    def rand_pth(inv, path):
+        torch.save(
+            {
+                k: torch.from_numpy(
+                    np.asarray(rng.standard_normal(v) * 0.05, dtype=np.float32)
+                )
+                for k, v in inv.items()
+            },
+            path,
+        )
+
+    rand_pth(
+        I.dino_vit_inventory(embed_dim=768, depth=12, patch_size=8, image_size=224),
+        snap / "dino_vitbase8_pretrain.pth",
+    )
+    rand_pth(I.squeezenet_features_inventory(), snap / "squeezenet1_1.pth")
+    rand_pth(I.lpips_heads_inventory(), snap / "lpips_squeeze_v0.1.pth")
+
+    ckpt = workdir / "ckpt_metrics"
+    r = _run_script(mock_snap, ckpt, "metrics", timeout=3600)
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    for sub in (
+        "metrics/clip_vision", "metrics/clip_text", "metrics/dino",
+        "metrics/lpips",
+    ):
+        assert (ckpt / sub / "weights.safetensors").exists(), sub
+    assert (ckpt / "metrics" / "clip_tokenizer" / "vocab.json").exists()
+
+    # --- the flip: full-size backbones, learned metrics enabled, non-NaN ---
+    import csv
+
+    from PIL import Image
+
+    import evaluate as evaluate_cli
+
+    tree = workdir / "flip"
+    rel = "0/img.jpg"
+    for sub, seed in (("src", 3), ("out", 4)):
+        p = tree / sub / rel
+        os.makedirs(p.parent, exist_ok=True)
+        Image.fromarray(
+            np.random.default_rng(seed).integers(
+                0, 255, (64, 64, 3), dtype=np.uint8
+            ),
+            "RGB",
+        ).save(p)
+    (tree / "mapping.json").write_text(
+        json.dumps({"id0": {"image_path": rel, "editing_prompt": "a cat"}})
+    )
+    rc = evaluate_cli.main(
+        [
+            "--mapping_file", str(tree / "mapping.json"),
+            "--source_dir", str(tree / "src"),
+            "--outputs_dir", str(tree / "out"),
+            "--results_file", str(tree / "metrics.csv"),
+            "--summary_file", str(tree / "summary.json"),
+            "--device", "cpu",
+            "--metrics_weights", str(ckpt / "metrics"),
+            "--batch_size", "1",
+        ]
+    )
+    assert rc == 0
+    with open(tree / "metrics.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 1
+    for col in ("ssim", "psnr", "mse", "lpips", "clip_score", "dino_distance"):
+        v = float(rows[0][col])
+        assert np.isfinite(v), f"{col} must be non-NaN with converted weights"
 
 
 @pytest.mark.slow
