@@ -362,10 +362,12 @@ def bench_decode():
 def bench_encode():
     """In-context VAE encode A/B: XLA vs Pallas conv variants.
 
-    The encoder mirrors the decoder's conv stack but downsamples (the
-    stride-2 convs always stay XLA — the kernel is stride-1 SAME only)
-    and has no upsamples, so only the bare conv and the whole-resnet
-    fusion are in play.  Queue-10-sync-1 timing like bench_decode.
+    Round-2/3 measured XLA winning (43.7-44.4 vs 55.7-56.7 ms) with the
+    stride-2 downsamplers still on XLA — partial Pallas coverage
+    re-ignited the layout war.  conv3x3_down2 (phase-decomposed strided
+    conv) now completes coverage; the matrix below decides
+    flags.use_pallas_conv_encode's default (honest-flag policy).
+    Queue-10-sync-1 timing like bench_decode.
     """
     import numpy as np
     from fastedit_tpu import FastEditor
@@ -392,10 +394,18 @@ def bench_encode():
     run("warmup arm (discard)")  # first timed arm runs ~2x slow (see bench_decode)
     with flags.override(use_pallas_conv=False):
         a = run("xla encoder")
-    with flags.override(use_pallas_conv=True, use_fused_resnet=True):
-        b = run("pallas encoder (fused resnet)")
-    with flags.override(use_pallas_conv=True, use_fused_resnet=False):
-        run("pallas encoder (bare convs)")
+    with flags.override(
+        use_pallas_conv=True, use_fused_resnet=True, use_fused_down2=True
+    ):
+        b = run("pallas encoder (fused resnet + down2)")
+    with flags.override(
+        use_pallas_conv=True, use_fused_resnet=True, use_fused_down2=False
+    ):
+        run("pallas encoder (fused resnet, xla downsample)")
+    with flags.override(
+        use_pallas_conv=True, use_fused_resnet=False, use_fused_down2=True
+    ):
+        run("pallas encoder (bare convs + down2)")
     run("default dispatch")
     editor._rebuild_stages()
     err = float(
@@ -464,6 +474,9 @@ def bench_denoise():
         run("pallas convs + up2 only")
     with flags.override(use_fused_resnet=True, use_fused_up2=False):
         run("pallas convs + fused resnet only")
+    with flags.override(use_fused_resnet=False, use_fused_up2=True,
+                        use_fused_down2=True):
+        run("pallas convs + up2 + down2 (strided downsamplers)")
     with flags.override(use_pallas_conv=False):
         run("xla convs everywhere")
 

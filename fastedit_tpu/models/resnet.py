@@ -235,6 +235,50 @@ class ResnetBlock2D(nn.Module):
         return x + h
 
 
+class StridedConv3x3(nn.Module):
+    """Stride-2 3x3 conv with nn.Conv-compatible params ("kernel" HWIO +
+    "bias"), dispatched to the phase-decomposed Pallas downsample kernel
+    (ops/conv_fused.conv3x3_down2) when flags.use_fused_down2() is on in
+    the tracing context and the shape qualifies; XLA strided conv
+    otherwise.  Covers both paddings: SAME-style (1,1) and the VAE
+    encoder's asymmetric (0,1)."""
+
+    features: int
+    asymmetric: bool = False
+    kernel_init: Any = nn.initializers.lecun_normal()
+    bias_init: Any = nn.initializers.zeros
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from fastedit_tpu.ops import conv_fused, flags
+
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (3, 3, cin, self.features), self.param_dtype
+        )
+        bias = self.param("bias", self.bias_init, (self.features,), self.param_dtype)
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        if flags.use_fused_down2() and conv_fused.supports_down2(
+            x.shape, kernel.shape, x.dtype.itemsize
+        ):
+            return conv_fused.conv3x3_down2(
+                x, kernel, bias=bias.astype(self.dtype),
+                asymmetric=self.asymmetric,
+            )
+        pad = [(0, 1), (0, 1)] if self.asymmetric else [(1, 1), (1, 1)]
+        out = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(2, 2),
+            padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out + bias.astype(out.dtype)
+
+
 class Downsample2D(nn.Module):
     """Strided conv downsample. VAE encoder uses asymmetric (0,1) padding."""
 
@@ -245,16 +289,9 @@ class Downsample2D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        if self.asymmetric_pad:
-            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-            pad: int | str = 0
-        else:
-            pad = 1
-        return _conv(
+        return StridedConv3x3(
             self.out_channels,
-            3,
-            stride=2,
-            pad=pad,
+            asymmetric=self.asymmetric_pad,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="conv",

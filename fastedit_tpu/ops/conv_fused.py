@@ -443,6 +443,216 @@ def _up2_call(x, wp4, bias, act, ht, co):
     )(xp, wp4, bias)
 
 
+# --------------------------------------------------------------------------
+# Stride-2 downsample conv3x3, phase-decomposed (the conv3x3_up2 analog).
+# --------------------------------------------------------------------------
+#
+# A stride-2 3x3 conv reads input rows/cols 2i+d (d in 0..2), so every tap
+# touches a FIXED parity of the input: d=0,2 -> even rows, d=1 -> odd rows
+# (same for columns).  Bit-reshaping the padded input to
+# [B, HP/2, 2, WP/2, 2, Cin] exposes the four parity phases as contiguous
+# planes, and each tile DMAs the four half-res slabs it needs — so the
+# kernel's tap loop uses only CONTIGUOUS slices (no sublane-strided vector
+# loads, which is what makes a naive Pallas strided conv slow).  MAC count
+# is identical to the dense conv (9 taps); the win is covering the
+# downsamplers so no XLA conv is left in a Pallas-conv region to re-ignite
+# the layout war (ops/flags.use_pallas_conv docstring; reference VAE encode
+# at src/pipeline.py:94-105).
+#
+# Supports both paddings the models use: SAME-style (1,1) (UNet/ControlNet
+# Downsample2D) and the VAE encoder's asymmetric (0,1)
+# (models/resnet.py:248-252) — the parity structure is identical, only the
+# XLA-side padding differs.
+
+
+def _down2_kernel(xp_hbm, w_ref, b_ref, o_ref, xs4, sem4, *, ht, wout, act):
+    """Grid (B, Cout-tiles, Hout-tiles).
+
+    ``xp_hbm``: [B, HP/2, 2, WPS, 2, Cin] phase-exposed padded input.
+    Four phase slabs per tile land in ``xs4[slot]``: index 2*rp+cp, rows
+    ht+1 (even-row phases) or ht (odd).  Tap (di, dj) reads slab
+    (di%2, dj%2) at row offset di//2, col offset dj//2.
+    """
+    b = pl.program_id(0)
+    ih = pl.program_id(2)
+    nh = pl.num_programs(2)
+
+    def dmas(slot, row_tile):
+        out = []
+        for rp in (0, 1):
+            rows = ht + 1 if rp == 0 else ht
+            for cp in (0, 1):
+                out.append(
+                    pltpu.make_async_copy(
+                        xp_hbm.at[b, pl.ds(row_tile * ht, rows), rp, :, cp],
+                        xs4.at[slot, 2 * rp + cp, pl.ds(0, rows)],
+                        sem4.at[slot, 2 * rp + cp],
+                    )
+                )
+        return out
+
+    @pl.when(ih == 0)
+    def _warmup():
+        for c in dmas(0, 0):
+            c.start()
+
+    @pl.when(ih + 1 < nh)
+    def _prefetch():
+        for c in dmas((ih + 1) % 2, ih + 1):
+            c.start()
+
+    for c in dmas(ih % 2, ih):
+        c.wait()
+
+    slot = ih % 2
+    cin = xs4.shape[-1]
+    co = o_ref.shape[-1]
+    acc = None
+    for di in range(3):
+        rp, ro = di % 2, di // 2
+        for dj in range(3):
+            cp, cof = dj % 2, dj // 2
+            slab = xs4[slot, 2 * rp + cp]
+            patch = slab[ro : ro + ht, cof : cof + wout, :].reshape(
+                ht * wout, cin
+            )
+            part = jax.lax.dot_general(
+                patch,
+                w_ref[di, dj],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+    acc = acc + b_ref[0]
+    if act == "silu":
+        acc = acc * jax.nn.sigmoid(acc)
+    o_ref[0] = acc.reshape(ht, wout, co).astype(o_ref.dtype)
+
+
+def _pick_tiles_down2(hout, wout, cin, cout, itemsize):
+    wps = -(-(wout + 1) // 8) * 8
+    for co in (256, 128):
+        if cout % co:
+            continue
+        for ht in (32, 16, 8, 4):
+            if hout % ht:
+                continue
+            xs_bytes = 2 * 4 * (ht + 1) * wps * cin * itemsize  # 4 slabs, 2 slots
+            acc_bytes = ht * wout * co * 4
+            out_bytes = ht * wout * co * itemsize
+            w_bytes = 9 * cin * co * itemsize
+            if xs_bytes + acc_bytes + out_bytes + w_bytes <= _BUDGET:
+                return ht, co
+    return None
+
+
+def supports_down2(x_shape, w_shape, itemsize: int) -> bool:
+    if len(x_shape) != 4 or len(w_shape) != 4:
+        return False
+    _, h, w, cin = x_shape
+    kh, kw, wcin, cout = w_shape
+    if (kh, kw) != (3, 3) or wcin != cin or cin < 64:
+        return False
+    if h % 2 or w % 2:
+        return False
+    cin_eff = -(-cin // 128) * 128
+    cout_eff = -(-cout // 128) * 128
+    return _pick_tiles_down2(h // 2, w // 2, cin_eff, cout_eff, itemsize) is not None
+
+
+@functools.partial(
+    jax.jit, static_argnames=("act", "pad_top", "ht", "co")
+)
+def _down2_call(x, w, bias, act, pad_top, ht, co):
+    b, h, width, cin = x.shape
+    cout = w.shape[-1]
+    hout, wout = h // 2, width // 2
+    wps = -(-(wout + 1) // 8) * 8
+    wp = 2 * wps
+    pad_left = pad_top
+    # hp = h + 2 in both modes: reads reach padded row 2*hout = h + pad_top
+    # at most; the extra rows/cols are zeros and only read where the real
+    # conv would read its single pad row/col.
+    xp = jnp.pad(
+        x,
+        (
+            (0, 0),
+            (pad_top, 2 - pad_top),
+            (pad_left, wp - width - pad_left),
+            (0, 0),
+        ),
+    )
+    xp2 = xp.reshape(b, (h + 2) // 2, 2, wps, 2, cin)
+    grid = (b, cout // co, hout // ht)
+    return pl.pallas_call(
+        functools.partial(_down2_kernel, ht=ht, wout=wout, act=act),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (3, 3, cin, co),
+                lambda b, ico, ih: (0, 0, 0, ico),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, co), lambda b, ico, ih: (0, ico), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ht, wout, co),
+            lambda b, ico, ih: (b, ih, 0, ico),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hout, wout, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, ht + 1, wps, cin), x.dtype),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=flags.FLAGS.pallas_interpret,
+    )(xp2, w, bias)
+
+
+def conv3x3_down2(
+    x: jax.Array,
+    w: jax.Array,
+    bias: Optional[jax.Array] = None,
+    act: Optional[str] = None,
+    asymmetric: bool = False,
+) -> jax.Array:
+    """Stride-2 3x3 conv downsample in one Pallas kernel.
+
+    ``asymmetric=False``: padding (1, 1) (UNet/ControlNet Downsample2D);
+    ``asymmetric=True``: padding (0, 1) bottom/right only (VAE encoder,
+    models/resnet.py:248-252).  Equivalent to the XLA strided conv
+    bit-for-bit in f32 accumulation.
+    """
+    b, h, width, cin = x.shape
+    cout = w.shape[-1]
+    assert supports_down2(x.shape, w.shape, x.dtype.itemsize)
+    cin_pad = (-cin) % 128
+    cout_pad = (-cout) % 128
+    if cin_pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cin_pad)))
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, cin_pad), (0, 0)))
+        cin += cin_pad
+    if cout_pad:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, cout_pad)))
+        cout += cout_pad
+    bf = (
+        jnp.zeros((1, cout), jnp.float32)
+        if bias is None
+        else jnp.pad(
+            bias.astype(jnp.float32).reshape(1, -1), ((0, 0), (0, cout_pad))
+        )
+    )
+    ht, co = _pick_tiles_down2(h // 2, width // 2, cin, cout, x.dtype.itemsize)
+    out = _down2_call(x, w, bf, act, 0 if asymmetric else 1, ht, co)
+    if cout_pad:
+        out = out[..., : cout - cout_pad]
+    return out
+
+
 def conv3x3_up2(
     x: jax.Array,
     w: jax.Array,

@@ -31,6 +31,7 @@ class KernelFlags:
     use_pallas_conv: bool | None = None  # None = auto (TPU yes, CPU no)
     use_fused_resnet: bool | None = None  # None = follow use_pallas_conv()
     use_fused_up2: bool | None = None  # None = follow use_pallas_conv()
+    use_fused_down2: bool | None = None  # None = follow use_pallas_conv()
     pallas_interpret: bool = False  # run Pallas kernels interpreted (debug/CPU)
 
 
@@ -131,6 +132,46 @@ def use_fused_up2() -> bool:
     return FLAGS.use_fused_up2
 
 
+def use_fused_down2() -> bool:
+    """Stride-2 phase-decomposed downsample conv (conv_fused.conv3x3_down2).
+
+    Covers the strided convs that kept every Pallas-conv region partially
+    XLA (see use_pallas_conv docstring: the round-2/3 encoder A/B lost with
+    the downsamplers still on XLA).  Default: follow the Pallas-conv
+    context; the per-context stage overrides pin the measured choice.
+    """
+    if FLAGS.use_fused_down2 is None:
+        return use_pallas_conv()
+    return FLAGS.use_fused_down2
+
+
+def use_pallas_conv_encode() -> bool:
+    """Pallas convs in the VAE encoder context.
+
+    OFF by default PENDING the in-context re-A/B: the round-2/3 encoder
+    measurement (XLA 43.7-44.4 ms vs fused Pallas 55.7-56.7) ran with the
+    stride-2 downsamplers still on XLA — partial coverage re-ignited the
+    layout war.  conv3x3_down2 now completes coverage; flip this default
+    only if `bench_conv.py encode` wins on hardware (honest-flag policy).
+    """
+    if FLAGS.use_pallas_conv is None:
+        return False
+    return FLAGS.use_pallas_conv
+
+
+def resolve_fused_encode() -> tuple[bool, bool]:
+    """(use_fused_resnet, use_fused_down2) inside the VAE encoder.
+    As elsewhere, the encode-context conv flag gates both fusions."""
+    on = use_pallas_conv_encode()
+    resnet = (
+        FLAGS.use_fused_resnet if FLAGS.use_fused_resnet is not None else on
+    )
+    down2 = (
+        FLAGS.use_fused_down2 if FLAGS.use_fused_down2 is not None else on
+    )
+    return resnet and on, down2 and on
+
+
 def resolve_fused_denoise() -> tuple[bool, bool]:
     """(use_fused_resnet, use_fused_up2) inside the denoise loop.
 
@@ -154,6 +195,16 @@ def resolve_fused_denoise() -> tuple[bool, bool]:
     )
     up2 = FLAGS.use_fused_up2 if FLAGS.use_fused_up2 is not None else on
     return resnet and on, up2 and on
+
+
+def resolve_fused_down2_denoise() -> bool:
+    """conv3x3_down2 for the UNet downsamplers inside the denoise loop:
+    OFF by default pending the in-loop A/B (bench_conv.py denoise);
+    explicit FLAGS.use_fused_down2 overrides, gated by the loop conv
+    context like the other fusions."""
+    on = use_pallas_conv_denoise()
+    d = FLAGS.use_fused_down2 if FLAGS.use_fused_down2 is not None else False
+    return d and on
 
 
 def resolve_fused_decode() -> tuple[bool, bool]:

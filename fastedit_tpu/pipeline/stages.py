@@ -120,9 +120,18 @@ def _vae_sample_fn(mod: PipelineModules):
 
     def vae_sample(vae_params, image, key, tile_noise: bool):
         """[-1, 1] image -> scaled posterior-sampled latents."""
-        mean, logvar = vae.apply(
-            {"params": vae_params}, image, method=vae.encode_moments
-        )
+        # Trace-time dispatch: the encoder context keeps XLA by default
+        # (flags.use_pallas_conv_encode — the r2/3 A/B loss predates full
+        # strided-conv coverage; re-A/B with bench_conv.py encode).
+        fused_resnet, fused_down2 = flags.resolve_fused_encode()
+        with flags.override(
+            use_pallas_conv=flags.use_pallas_conv_encode(),
+            use_fused_resnet=fused_resnet,
+            use_fused_down2=fused_down2,
+        ):
+            mean, logvar = vae.apply(
+                {"params": vae_params}, image, method=vae.encode_moments
+            )
         if tile_noise:
             eps = jax.random.normal(key, (1, *mean.shape[1:]), dtype=jnp.float32)
             logv = jnp.clip(logvar.astype(jnp.float32), -30.0, 20.0)
@@ -216,6 +225,9 @@ def _denoise_fn(mod: PipelineModules):
             use_pallas_conv=flags.use_pallas_conv_denoise(),
             use_fused_resnet=fused_resnet,
             use_fused_up2=fused_up2,
+            # UNet downsamplers: XLA strided conv by default pending the
+            # in-loop A/B; explicit FLAGS.use_fused_down2 overrides.
+            use_fused_down2=flags.resolve_fused_down2_denoise(),
         ):
             return _denoise_body(
                 params, latents, context, pooled, time_ids, control_image,

@@ -58,10 +58,13 @@ def _write_sd_random(d, inv: dict, name="model.safetensors", seed=0):
 
 
 def _write_tokenizer(d):
+    """Byte-complete mock vocab (every byte char + </w> variants), so BPE
+    can encode arbitrary text — the token-golden capture step runs on it."""
+    from fastedit_tpu.text.tokenizer import bytes_to_unicode
+
     os.makedirs(d, exist_ok=True)
-    chars = "abcdefghijklmnopqrstuvwxyz"
     vocab = {"<|startoftext|>": 0, "<|endoftext|>": 1}
-    for c in chars:
+    for c in bytes_to_unicode().values():
         vocab[c] = len(vocab)
         vocab[c + "</w>"] = len(vocab)
     with open(os.path.join(d, "vocab.json"), "w") as f:
@@ -138,7 +141,16 @@ def _run_script(work, ckpt_dir, components, timeout=1500, extra_env=None):
         COMPONENTS=components,
         CKPT_DIR=str(ckpt_dir),
         PIE_BENCH_DIR=str(work / "no_such_pie_bench"),
+        # Mocked-vocab token goldens must never land in the repo fixture.
+        TOKEN_GOLDENS_FIXTURE=str(work / "token_goldens.json"),
     )
+    if not (work / "token_goldens.json").exists():
+        import shutil
+
+        shutil.copy(
+            os.path.join(REPO, "tests", "fixtures", "clip_token_goldens.json"),
+            work / "token_goldens.json",
+        )
     env.update(extra_env or {})
     return subprocess.run(
         ["bash", "tools/bring_up.sh", str(work)],
@@ -151,6 +163,10 @@ def _run_script(work, ckpt_dir, components, timeout=1500, extra_env=None):
 
 
 def test_bring_up_vae_tokenizer_dryrun(mock_snap, workdir):
+    repo_fixture = os.path.join(
+        REPO, "tests", "fixtures", "clip_token_goldens.json"
+    )
+    repo_fx_before = open(repo_fixture).read()
     ckpt = workdir / "ckpt_vae_tok"
     r = _run_script(mock_snap, ckpt, "vae tokenizer")
     assert r.returncode == 0, r.stdout + r.stderr
@@ -164,6 +180,12 @@ def test_bring_up_vae_tokenizer_dryrun(mock_snap, workdir):
     assert (ckpt / "vae-fp32" / "weights.safetensors").exists()
     assert (ckpt / "tokenizer" / "vocab.json").exists()
     assert (ckpt / "tokenizer_2" / "merges.txt").exists()
+    # the token-golden capture ran against the scratch fixture (and the
+    # repo fixture stayed untouched — enforced by TOKEN_GOLDENS_FIXTURE)
+    scratch = json.loads((mock_snap / "token_goldens.json").read_text())
+    assert scratch["input_ids"] is not None
+    assert scratch["oracle"].startswith("transformers.CLIPTokenizer")
+    assert open(repo_fixture).read() == repo_fx_before
     # steps 4/5 took their documented skip branches (SKIP_GOLDENS makes
     # step 4 deterministic whether or not diffusers is installed; step 5
     # refuses to run the parity gate on a COMPONENTS subset)

@@ -219,3 +219,75 @@ def test_supports_gates():
     assert supports_up2((1, 512, 512, 256), (3, 3, 256, 256), 2)
     assert supports_up2((1, 128, 128, 512), (3, 3, 512, 512), 2)
     assert not supports_up2((1, 64, 64, 4), (3, 3, 4, 128), 2)
+
+
+# --------------------------------------------------------------------------
+# conv3x3_down2 (stride-2 phase-decomposed downsample conv)
+# --------------------------------------------------------------------------
+
+
+def _ref_down2(x, w, bias, asymmetric):
+    if asymmetric:
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        pad = [(0, 0), (0, 0)]
+    else:
+        pad = [(1, 1), (1, 1)]
+    out = jax.lax.conv_general_dilated(
+        x, w, (2, 2), pad, dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    return out if bias is None else out + bias
+
+
+@pytest.mark.parametrize("asymmetric", [False, True])
+def test_down2_matches_strided_conv(asymmetric):
+    from fastedit_tpu.ops.conv_fused import conv3x3_down2, supports_down2
+
+    x, w, bias, _, _ = _case(2, 16, 128, 128)
+    assert supports_down2(x.shape, w.shape, x.dtype.itemsize)
+    ref = _ref_down2(x, w, bias, asymmetric)
+    with flags.override(pallas_interpret=_interp()):
+        out = conv3x3_down2(x, w, bias=bias, asymmetric=asymmetric)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_down2_unaligned_channels_and_act():
+    """Zero-padded unaligned channels (96 -> 320) + fused SiLU."""
+    from fastedit_tpu.ops.conv_fused import conv3x3_down2, supports_down2
+
+    x, w, bias, _, _ = _case(1, 8, 96, 320, seed=3)
+    assert supports_down2(x.shape, w.shape, x.dtype.itemsize)
+    ref = _ref_down2(x, w, bias, False)
+    ref = ref * jax.nn.sigmoid(ref)
+    with flags.override(pallas_interpret=_interp()):
+        out = conv3x3_down2(x, w, bias=bias, act="silu")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_down2_vae_encoder_shape_bf16():
+    """The 1024^2 VAE-encoder downsample shape class (scaled to 64^2 for CPU
+    interpret mode), bf16 in/out like production."""
+    from fastedit_tpu.ops.conv_fused import conv3x3_down2, supports_down2
+
+    x, w, bias, _, _ = _case(1, 64, 128, 128, seed=5)
+    xb, wb = x.astype(jnp.bfloat16), w.astype(jnp.bfloat16)
+    assert supports_down2(xb.shape, wb.shape, xb.dtype.itemsize)
+    ref = _ref_down2(xb, wb, bias.astype(jnp.bfloat16), True)
+    with flags.override(pallas_interpret=_interp()):
+        out = conv3x3_down2(xb, wb, bias=bias.astype(jnp.bfloat16), asymmetric=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, dtype=np.float32),
+        np.asarray(ref, dtype=np.float32),
+        rtol=2e-2,
+        atol=2e-2,
+    )
+
+
+def test_down2_support_gates():
+    from fastedit_tpu.ops.conv_fused import supports_down2
+
+    assert not supports_down2((1, 15, 16, 128), (3, 3, 128, 128), 2)  # odd h
+    assert not supports_down2((1, 16, 16, 32), (3, 3, 32, 128), 2)  # cin < 64
+    assert not supports_down2((1, 16, 16, 128), (1, 1, 128, 128), 2)  # not 3x3
+    assert not supports_down2((16, 16, 128), (3, 3, 128, 128), 2)  # rank

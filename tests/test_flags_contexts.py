@@ -37,6 +37,26 @@ def test_decode_default_fully_fused_on_tpu():
 def test_encoder_and_unmeasured_contexts_default_xla():
     with _tpu(True):
         assert flags.use_pallas_conv() is False
+        assert flags.use_pallas_conv_encode() is False
+        assert flags.resolve_fused_encode() == (False, False)
+
+
+def test_down2_defaults_and_overrides():
+    """conv3x3_down2 is OFF by default in every context (pending the
+    hardware A/B); explicit FLAGS.use_fused_down2 flips it, still gated
+    by the context conv flag."""
+    with _tpu(True):
+        assert flags.use_fused_down2() is False  # follows use_pallas_conv()
+        assert flags.resolve_fused_down2_denoise() is False
+        with flags.override(use_fused_down2=True):
+            # gated: denoise context conv flag is ON by default on TPU
+            assert flags.resolve_fused_down2_denoise() is True
+            # encoder context conv flag is OFF -> still gated off
+            assert flags.resolve_fused_encode() == (False, False)
+        with flags.override(use_pallas_conv=True, use_fused_down2=True):
+            assert flags.resolve_fused_encode()[1] is True
+        with flags.override(use_pallas_conv=True, use_fused_down2=False):
+            assert flags.resolve_fused_encode()[1] is False
 
 
 def test_cpu_backend_defaults_everything_off():

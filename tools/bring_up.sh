@@ -169,8 +169,11 @@ if has tokenizer; then
   $CONV tokenizer --src "$S/tokenizer_2" --out "$CKPT/tokenizer_2"
   # Fill the staged token-id goldens (tests/fixtures/clip_token_goldens.json)
   # from the real vocab, cross-checked against transformers' CLIPTokenizer.
+  # TOKEN_GOLDENS_FIXTURE overrides the target (the CI dry-run points it at
+  # a scratch copy so mocked-vocab ids never land in the repo fixture).
   python -m fastedit_tpu.tools.capture_token_goldens \
-    --tokenizer_dir "$CKPT/tokenizer"
+    --tokenizer_dir "$CKPT/tokenizer" \
+    --fixture "${TOKEN_GOLDENS_FIXTURE:-tests/fixtures/clip_token_goldens.json}"
 fi
 if has metrics; then
 # metric backbones
