@@ -82,6 +82,26 @@ class PendingEdit:
         out = np.asarray(self._out)
         return [Image.fromarray(out[i]) for i in range(self._n)]
 
+    def local_result(self):
+        """Materialize only this process's addressable output rows.
+
+        Multi-host DP (mesh spanning processes) shards the output batch
+        across hosts; ``np.asarray`` on such an array would fail (or force a
+        cross-host gather).  Each host instead saves exactly the rows it
+        owns — the multi-host form of the sweep's per-shard ``skip_existing``
+        resume.  Returns ``[(global_row_index, PIL.Image), ...]`` sorted by
+        row.  On a single-host array this is simply an indexed ``result()``.
+        """
+        rows = {}
+        for shard in self._out.addressable_shards:
+            idx = shard.index[0]
+            data = np.asarray(shard.data)
+            for off in range(data.shape[0]):
+                row = (idx.start or 0) + off
+                if row < self._n and row not in rows:
+                    rows[row] = Image.fromarray(data[off])
+        return sorted(rows.items())
+
 
 class FastEditor:
     """Fast image editor: SDXL/SSD-1B + LCM + ControlNet-Canny on TPU."""
@@ -193,12 +213,14 @@ class FastEditor:
     def _rebuild_stages(self):
         self._encode_prompt = stages.make_encode_prompt(self.modules)
         self._vae_encode = stages.make_vae_encode(self.modules)
-        self._vae_decode = stages.make_vae_decode(self.modules)
+        self._vae_decode = stages.make_vae_decode(self.modules, mesh=self.mesh)
         self._denoise = stages.make_denoise(self.modules)
         self._prepare, self._prepare_batch = stages.make_prepare_inputs(
             self.modules, self._control_res
         )
-        self._edit_core = stages.make_edit_core(self.modules, self._control_res)
+        self._edit_core = stages.make_edit_core(
+            self.modules, self._control_res, mesh=self.mesh
+        )
         self._canny = jax.jit(canny_jax)
 
     def enable_data_parallel(self, mesh=None):

@@ -38,6 +38,7 @@ from fastedit_tpu.models.controlnet import ControlNetModel
 from fastedit_tpu.models.unet import UNet2DConditionModel
 from fastedit_tpu.models.vae import AutoencoderKL
 from fastedit_tpu.ops import flags
+from fastedit_tpu.parallel.mesh import DATA_AXIS
 from fastedit_tpu.sched.lcm import LCMSchedule, add_noise, lcm_step
 
 
@@ -145,7 +146,7 @@ def _vae_sample_fn(mod: PipelineModules):
     return vae_sample
 
 
-def _vae_decode_fn(mod: PipelineModules):
+def _vae_decode_fn(mod: PipelineModules, mesh=None):
     vae, scale = mod.vae, mod.vae_scaling_factor
 
     def decode_one(vae_params, latents):
@@ -165,6 +166,11 @@ def _vae_decode_fn(mod: PipelineModules):
         img01 = jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
         return (img01 * 255.0 + 0.5).astype(jnp.uint8)
 
+    def _map_decode(vae_params, latents):
+        return jax.lax.map(
+            lambda z: decode_one(vae_params, z[None])[0], latents
+        )
+
     def vae_decode(vae_params, latents):
         """scaled latents -> uint8 image (PIL round-half-up, on device).
 
@@ -172,13 +178,30 @@ def _vae_decode_fn(mod: PipelineModules):
         activations are ~1 GB/image, so batch >2 OOMs a 16 GB chip and batch
         2 already degrades scheduling.  lax.map decodes per image — peak
         memory stays single-image while the program remains one dispatch.
+
+        Under DP the lax.map must run over the *local* rows only: a scan
+        over a batch-sharded axis makes XLA all-gather the latents and
+        decode every image on every device (O(global batch) serial decode
+        per chip, and a replicated output that costs a second all-gather of
+        the decoded pixels over ICI).  shard_map over the data axis keeps
+        the scan local — per-device peak memory stays single-image, decode
+        time scales 1/n_devices, and the output stays batch-sharded for
+        per-host readback.
         """
         if latents.shape[0] == 1:
             return decode_one(vae_params, latents)
-        out = jax.lax.map(
-            lambda z: decode_one(vae_params, z[None])[0], latents
-        )
-        return out
+        ndata = mesh.shape[DATA_AXIS] if mesh is not None else 1
+        if ndata > 1 and latents.shape[0] % ndata == 0:
+            from jax.sharding import PartitionSpec as P
+
+            return jax.shard_map(
+                _map_decode,
+                mesh=mesh,
+                in_specs=(P(), P(DATA_AXIS)),
+                out_specs=P(DATA_AXIS),
+                check_vma=False,
+            )(vae_params, latents)
+        return _map_decode(vae_params, latents)
 
     return vae_decode
 
@@ -329,8 +352,8 @@ def make_vae_encode(mod: PipelineModules):
     return partial(vae_encode, mod.vae_params)
 
 
-def make_vae_decode(mod: PipelineModules):
-    vae_decode = _vae_decode_fn(mod)
+def make_vae_decode(mod: PipelineModules, mesh=None):
+    vae_decode = _vae_decode_fn(mod, mesh=mesh)
 
     @jax.jit
     def decode(params, latents):
@@ -351,11 +374,11 @@ def make_denoise(mod: PipelineModules):
     return partial(denoise_jit, mod.denoiser_params)
 
 
-def make_edit_core(mod: PipelineModules, control_res: int):
+def make_edit_core(mod: PipelineModules, control_res: int, mesh=None):
     """The whole pixel path as ONE device program (single dispatch/edit)."""
     prepare_one = _prepare_one_fn(mod, control_res)
     vae_sample = _vae_sample_fn(mod)
-    vae_decode = _vae_decode_fn(mod)
+    vae_decode = _vae_decode_fn(mod, mesh=mesh)
     denoise = _denoise_fn(mod)
 
     @partial(jax.jit, static_argnames=("do_cfg", "tile_noise"))
