@@ -54,17 +54,40 @@ def _load_chunk(padded, resolution: int, stage=None):
     if fill is None:
         return None, bad
     batch = np.stack([a if a is not None else fill for a in arrs])
-    return (stage(batch) if stage is not None else batch), bad
+    if stage is not None:
+        try:
+            return stage(batch), bad
+        except Exception:  # noqa: BLE001 - device staging is an optimization
+            # A transient device_put failure must not kill the sweep: hand
+            # back the host batch; the editor uploads it at dispatch time
+            # (losing only the double-buffering for this chunk).
+            pass
+    return batch, bad
 
 
 def run_batch_data_parallel(args, editor, selected: List[Tuple[str, dict]],
                             edited_dir: str) -> int:
     mesh = editor.enable_data_parallel()
     chunk_size = int(mesh.shape["data"])
+    from fastedit_tpu.parallel import multihost
+
+    multi = multihost.spans_processes(mesh)
+    # Under multi-host DP each controller owns a fixed set of batch rows
+    # (the shards on its local devices); it materializes and saves exactly
+    # those, so no decoded pixels ever cross hosts.
+    my_rows = (
+        set(multihost.local_rows(mesh, chunk_size)) if multi
+        else set(range(chunk_size))
+    )
 
     # Resolve work items up front (skip/missing accounting identical to the
-    # sequential path).
-    work = []
+    # sequential path).  Everything deterministic from the shared mapping
+    # file (path validity, empty prompts) is decided inline; *filesystem*
+    # checks are collected as bits first because under multi-host they can
+    # diverge per controller (non-shared filesystems: each host's disk holds
+    # only the rows it saved) — and the multi-controller invariant is that
+    # every process builds the SAME chunk list, or dispatch deadlocks.
+    candidates = []
     skipped = failed = 0
     for image_id, entry in selected:
         try:
@@ -73,14 +96,41 @@ def run_batch_data_parallel(args, editor, selected: List[Tuple[str, dict]],
             print(f"Invalid path for {image_id}: {e}")
             failed += 1
             continue
-        output_path = os.path.join(edited_dir, entry["image_path"])
-        if args.skip_existing and os.path.exists(output_path):
-            skipped += 1
-            continue
-        if not os.path.exists(source_path) or not entry.get("editing_prompt"):
+        if not entry.get("editing_prompt"):
             failed += 1
             continue
-        work.append((image_id, entry, source_path, output_path))
+        output_path = os.path.join(edited_dir, entry["image_path"])
+        skip_bit = bool(args.skip_existing and os.path.exists(output_path))
+        missing_bit = not os.path.exists(source_path)
+        candidates.append(
+            (image_id, entry, source_path, output_path, skip_bit, missing_bit)
+        )
+    if multi and candidates:
+        # Global agreement: skip a row if ANY host already has its output
+        # (it exists somewhere); treat the source as missing if it is
+        # missing on ANY host (conservative but deterministic — the row's
+        # owner is not known until after chunking).
+        from jax.experimental import multihost_utils
+
+        bits = np.asarray(
+            [[c[4], c[5]] for c in candidates], dtype=np.int32
+        )
+        allbits = np.asarray(multihost_utils.process_allgather(bits))
+        agreed = allbits.max(axis=0)
+        candidates = [
+            c[:4] + (bool(a[0]), bool(a[1]))
+            for c, a in zip(candidates, agreed)
+        ]
+    work = []
+    for image_id, entry, source_path, output_path, skip_bit, missing_bit in (
+        candidates
+    ):
+        if skip_bit:
+            skipped += 1
+        elif missing_bit:
+            failed += 1
+        else:
+            work.append((image_id, entry, source_path, output_path))
 
     chunks = [work[s : s + chunk_size] for s in range(0, len(work), chunk_size)]
     processed = 0
@@ -123,17 +173,23 @@ def run_batch_data_parallel(args, editor, selected: List[Tuple[str, dict]],
         nonlocal failed
         chunk, real, bad, handle = p
         try:
-            edited = handle.result()
+            # Multi-host: only this host's rows are addressable; fetching
+            # them is the whole readback this host does.
+            pairs = (
+                handle.local_result() if multi
+                else list(enumerate(handle.result()))
+            )
         except Exception as e:  # chunk-level isolation
             print(f"\nError processing chunk {chunk[0][0]}.. "
                   f"({type(e).__name__}): {e}")
-            failed += real - sum(1 for i in bad if i < real)
+            failed += sum(
+                1 for i in my_rows if i < real and i not in bad
+            )
             return real
-        for i, ((image_id, _, _, output_path), img) in enumerate(
-            zip(chunk, edited[:real])
-        ):
-            if i in bad:
-                continue
+        for i, img in pairs:
+            if i >= real or i in bad:
+                continue  # padding rows / load-failed slots
+            image_id, _, _, output_path = chunk[i]
             save_futures.append(
                 (image_id, writer.submit(save_one, output_path, img))
             )
@@ -197,7 +253,13 @@ def run_batch_data_parallel(args, editor, selected: List[Tuple[str, dict]],
     total_time = time.time() - t_sweep
     pbar.close()
 
-    print(f"\n{'='*60}\nBATCH PROCESSING SUMMARY (data-parallel)\n{'='*60}")
+    import jax
+
+    host = (
+        f", host {jax.process_index()}/{jax.process_count()}: "
+        f"counts are this host's rows" if multi else ""
+    )
+    print(f"\n{'='*60}\nBATCH PROCESSING SUMMARY (data-parallel{host})\n{'='*60}")
     print(f"\nProcessed:  {processed} images")
     print(f"Skipped:    {skipped} images")
     print(f"Failed:     {failed} images")

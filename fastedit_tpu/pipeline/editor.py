@@ -560,6 +560,20 @@ class FastEditor:
 
         if seed is None:
             seed = int.from_bytes(os.urandom(4), "little")
+            if self.mesh is not None:
+                from fastedit_tpu.parallel import multihost
+
+                if multihost.spans_processes(self.mesh):
+                    # The PRNG key is a REPLICATED jit input: multi-controller
+                    # jit requires it identical on every process, but urandom
+                    # draws independently per host.  Broadcast rank 0's draw.
+                    from jax.experimental import multihost_utils
+
+                    seed = int(
+                        multihost_utils.broadcast_one_to_all(
+                            np.uint32(seed & 0xFFFFFFFF)
+                        )
+                    )
         key = jax.random.PRNGKey(seed)
         # At batch 1 the tiled and untiled noise draws are identical
         # (same key, same shape); folding them avoids compiling a second

@@ -223,15 +223,17 @@ class CLIPTokenizer:
         """Mirror transformers' CLIPTokenizer normalization in its no-ftfy
         configuration — ``BasicTokenizer(strip_accents=False,
         do_split_on_punc=False)`` — which is what the reference stack runs
-        (ftfy is not among its requirements): drop NUL/U+FFFD and Cc/Cf
-        control chars, collapse whitespace, isolate CJK-block characters,
-        NFC-normalize, lowercase per whitespace token."""
+        (ftfy is not among its requirements): drop NUL/U+FFFD and *every*
+        category-C char (Cc/Cf/Co/Cs/Cn — BasicTokenizer's ``_is_control``
+        tests ``category.startswith("C")``, so private-use and unassigned
+        codepoints are removed too), collapse whitespace, isolate CJK-block
+        characters, NFC-normalize, lowercase per whitespace token."""
         cleaned: List[str] = []
         for ch in text:
             cp = ord(ch)
             cat = unicodedata.category(ch)
             if cp in (0, 0xFFFD) or (
-                cat in ("Cc", "Cf") and ch not in "\t\n\r"
+                cat.startswith("C") and ch not in "\t\n\r"
             ):
                 continue
             if ch in " \t\n\r" or cat == "Zs":

@@ -25,10 +25,21 @@ import numpy as np
 
 def sync(tree) -> None:
     """Force completion of async device work (incl. through the axon relay)
-    by reading back one element of every leaf."""
+    by reading back ONE element of every leaf.
+
+    The element is sliced on device first: a whole-array ``device_get``
+    would add the array's full host transfer (multi-MB, ~16 MB/s through
+    the remote relay) to whatever is being timed — e.g. vae_decode's 3 MB
+    uint8 image would read as ~200 ms of phantom stage time.  The 4-byte
+    scalar readback still orders after the producing program, which is the
+    synchronization wanted.
+    """
     for leaf in jax.tree.leaves(tree):
         if hasattr(leaf, "addressable_shards"):
-            np.asarray(jax.device_get(jax.tree.leaves(leaf)[0]))
+            data = leaf.addressable_shards[0].data
+            if data.size:
+                data = data.ravel()[0]
+            np.asarray(jax.device_get(data))
 
 
 class StageTimer:

@@ -47,6 +47,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_dir", type=str, default=None)
     p.add_argument("--data_parallel", action="store_true",
                    help="Shard the sweep over all local devices (ICI DP)")
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 (multi-host DP: one "
+                        "controller per host, jax.distributed)")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="Total controller processes in the multi-host sweep")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="This controller's rank in [0, num_processes)")
     return p
 
 
@@ -59,6 +66,26 @@ def main(argv=None):
 
     from fastedit_tpu import FastEditor
     from fastedit_tpu import harness
+
+    if args.num_processes and args.num_processes > 1:
+        # Multi-host DP: join the cluster before any device use.  Each host
+        # runs this same CLI with its own --process_id; the sweep shards the
+        # batch over the global mesh and each host saves only its rows.
+        if args.coordinator_address is None or args.process_id is None:
+            raise SystemExit(
+                "--num_processes requires --coordinator_address and "
+                "--process_id"
+            )
+        from fastedit_tpu.parallel import multihost
+
+        multihost.initialize(
+            args.coordinator_address, args.num_processes, args.process_id
+        )
+        args.data_parallel = True
+        print(
+            f"[multi-host] process {args.process_id}/{args.num_processes} "
+            f"joined {args.coordinator_address}"
+        )
 
     suffix = harness.model_suffix(args.model, args.full_precision)
     edited_dir = os.path.join(args.output_dir, "batch", "edited", suffix)

@@ -23,6 +23,63 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.slow
+def test_multihost_sweep_writes_every_row(tmp_path):
+    """run_batch.py as a 2-process cluster: the global batch is sharded over
+    both hosts and each saves exactly its own rows — together the sweep
+    covers every image, composing with the filesystem-keyed resume."""
+    demo = tmp_path / "demo"
+    out = tmp_path / "out"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["FASTEDIT_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    subprocess.run(
+        [sys.executable, "-m", "fastedit_tpu.tools.make_demo_data",
+         "--out", str(demo), "--n", "4", "--size", "64"],
+        env=env, cwd=REPO, check=True, timeout=300,
+    )
+    # Pre-existing output: --skip_existing decisions are filesystem checks
+    # that must be agreed globally (allgather) before chunking — this also
+    # exercises that path (here the shared fs makes both hosts' bits equal;
+    # the agreement collective still runs).
+    import json
+
+    mapping = json.loads((demo / "mapping_file.json").read_text())
+    first = next(iter(mapping.values()))["image_path"]
+    pre = out / "batch" / "edited" / "tiny_fp16" / first
+    pre.parent.mkdir(parents=True, exist_ok=True)
+    pre.write_bytes(b"placeholder")
+    common = [
+        sys.executable, os.path.join(REPO, "run_batch.py"),
+        "--mapping_file", str(demo / "mapping_file.json"),
+        "--source_dir", str(demo / "annotation_images"),
+        "--model", "tiny", "--output_dir", str(out), "--seed", "7",
+        "--skip_existing",
+        "--coordinator_address", "localhost:12466",
+        "--num_processes", "2",
+    ]
+    procs = [
+        subprocess.Popen(
+            common + ["--process_id", str(rank)],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for rank in range(2)
+    ]
+    outs = [p.communicate(timeout=500)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    edited = sorted((out / "batch" / "edited" / "tiny_fp16").rglob("*.jpg"))
+    assert len(edited) == 4, edited  # 3 fresh + the placeholder
+    for o in outs:
+        assert "Skipped:    1 images" in o, o[-2000:]
+    # 3 remaining rows, one padded chunk of 4: sharded 2/2 across the hosts,
+    # the padding row is dropped at save time -> 2 + 1 saved.
+    assert sorted(
+        int(o.split("Processed:  ")[1].split(" ")[0]) for o in outs
+    ) == [1, 2], outs
+
+
+@pytest.mark.slow
 def test_multihost_dryrun_two_processes():
     env = dict(os.environ)
     # The workers re-derive their own device counts; drop the test

@@ -68,6 +68,10 @@ def test_matches_transformers(vocab_dir):
         "it's 'tis y'all can't!!",         # contraction alternations
         "a--b ... !<|x|> '' 'q",           # greedy punctuation runs
         "你好 world",              # CJK letter run
+        # BasicTokenizer drops ALL category-C chars, not just Cc/Cf:
+        "ab",                # Co private-use removed -> "ab"
+        "pre\U000e0065\U000e006epost",  # Cf tag chars removed
+        "tab\tand\nnewline\rkept as spaces",
     ]:
         ref = hf(
             text,
