@@ -67,7 +67,9 @@ def _load_chunk(padded, resolution: int, stage=None):
 
 def run_batch_data_parallel(args, editor, selected: List[Tuple[str, dict]],
                             edited_dir: str) -> int:
-    mesh = editor.enable_data_parallel()
+    mesh = editor.enable_data_parallel(
+        model_parallel=getattr(args, "model_parallel", 1) or 1
+    )
     chunk_size = int(mesh.shape["data"])
     from fastedit_tpu.parallel import multihost
 

@@ -223,20 +223,44 @@ class FastEditor:
         )
         self._canny = jax.jit(canny_jax)
 
-    def enable_data_parallel(self, mesh=None):
+    def enable_data_parallel(self, mesh=None, model_parallel: int = 1):
         """Shard future ``edit_batch`` calls over the device mesh (ICI DP):
-        weights replicated per chip, batch dim sharded (SURVEY.md §2.4)."""
+        weights replicated per chip, batch dim sharded (SURVEY.md §2.4).
+
+        ``model_parallel > 1`` additionally tensor-parallelizes the
+        UNet/ControlNet transformer matmuls over the ``model`` axis
+        (parallel/tp.py) — the memory knob that fits the reference's fp32
+        SDXL config (22.7 GB, BASELINE.md) onto 16 GB chips.  Pallas
+        kernels are opaque to GSPMD, so TP pins the XLA attention/conv
+        paths (which partition natively on the head/channel dims).
+        """
         from fastedit_tpu.parallel import mesh as mesh_lib
 
-        self.mesh = mesh or mesh_lib.make_mesh()
+        self.mesh = mesh or mesh_lib.make_mesh(model_parallel=model_parallel)
+        tp = int(self.mesh.shape.get(mesh_lib.MODEL_AXIS, 1))
         m = self.modules
-        for attr in (
-            "unet_params",
-            "controlnet_params",
-            "vae_params",
-            "text_encoder_params",
-            "text_encoder_2_params",
-        ):
+        if tp > 1:
+            from fastedit_tpu.ops import flags
+            from fastedit_tpu.parallel import tp as tp_lib
+
+            flags.FLAGS.use_pallas_attention = False
+            flags.FLAGS.use_pallas_conv = False
+            log.info(
+                "Tensor parallelism x%d: XLA attention/conv paths pinned "
+                "(Pallas kernels are opaque to GSPMD)", tp
+            )
+            for attr in ("unet_params", "controlnet_params"):
+                setattr(m, attr, tp_lib.shard_params(getattr(m, attr), self.mesh))
+            rest = ("vae_params", "text_encoder_params", "text_encoder_2_params")
+        else:
+            rest = (
+                "unet_params",
+                "controlnet_params",
+                "vae_params",
+                "text_encoder_params",
+                "text_encoder_2_params",
+            )
+        for attr in rest:
             setattr(m, attr, mesh_lib.replicate_params(getattr(m, attr), self.mesh))
         self._rebuild_stages()
         self._prompt_cache = {}

@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_dir", type=str, default=None)
     p.add_argument("--data_parallel", action="store_true",
                    help="Shard the sweep over all local devices (ICI DP)")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="Tensor-parallel group size over the 'model' mesh "
+                        "axis (memory knob for the fp32 configs; implies "
+                        "--data_parallel)")
     p.add_argument("--coordinator_address", type=str, default=None,
                    help="host:port of process 0 (multi-host DP: one "
                         "controller per host, jax.distributed)")
@@ -128,6 +132,8 @@ def main(argv=None):
     with open(os.path.join(edited_dir, "run_config.json"), "w") as f:
         json.dump(vars(args), f, indent=2)
 
+    if args.model_parallel and args.model_parallel > 1:
+        args.data_parallel = True
     if args.data_parallel:
         from fastedit_tpu.parallel.batch import run_batch_data_parallel
 
