@@ -80,7 +80,9 @@ def test_multihost_sweep_writes_every_row(tmp_path):
 
 
 @pytest.mark.slow
-def test_multihost_dryrun_two_processes():
+def test_multihost_dryrun_dp_cross_host_tp_intra_host():
+    """The realistic pod layout: tensor-parallel groups inside each host
+    (collectives on ICI), data parallelism across hosts (DCN)."""
     env = dict(os.environ)
     # The workers re-derive their own device counts; drop the test
     # harness's 8-device flag so it doesn't leak into them.
@@ -93,8 +95,8 @@ def test_multihost_dryrun_two_processes():
             "2",
             "--local_devices",
             "2",
-            "--batch",
-            "4",
+            "--model_parallel",
+            "2",
             "--port",
             "12455",
         ],
@@ -106,6 +108,9 @@ def test_multihost_dryrun_two_processes():
     )
     out = proc.stdout + proc.stderr
     assert proc.returncode == 0, out[-3000:]
-    assert "[multihost_dryrun] OK: 2 processes x 2 devices" in out
-    assert "rank 0: rows [0, 1] match" in out
-    assert "rank 1: rows [2, 3] match" in out
+    assert (
+        "[multihost_dryrun] OK: 2 processes x 2 devices "
+        "(tensor-parallel x2)" in out
+    )
+    assert "rank 0: rows [0] match" in out
+    assert "rank 1: rows [1] match" in out

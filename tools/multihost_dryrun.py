@@ -41,8 +41,12 @@ def _parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--processes", type=int, default=2)
     p.add_argument("--local_devices", type=int, default=4)
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="tensor-parallel group size; must divide "
+                        "local_devices so TP collectives stay intra-host "
+                        "(ICI), DP rides the cross-host axis (DCN)")
     p.add_argument("--batch", type=int, default=None,
-                   help="global batch (default: one image per global device)")
+                   help="global batch (default: one image per data group)")
     p.add_argument("--port", type=int, default=12402)
     p.add_argument("--timeout", type=float, default=600.0)
     return p.parse_args(argv)
@@ -87,9 +91,13 @@ def _spawn_parent(args) -> int:
     if any(rcs):
         print(f"[multihost_dryrun] FAILED: worker rcs {rcs}", flush=True)
         return 1
+    tp = f" (tensor-parallel x{args.model_parallel})" if (
+        args.model_parallel > 1
+    ) else ""
     print(
         f"[multihost_dryrun] OK: {args.processes} processes x "
-        f"{args.local_devices} devices, full edit_batch over the global mesh",
+        f"{args.local_devices} devices{tp}, full edit_batch over the "
+        f"global mesh",
         flush=True,
     )
     return 0
@@ -119,7 +127,11 @@ def _run_worker(args, rank: int) -> None:
     assert len(jax.devices()) == n_global, (
         f"cluster exposes {len(jax.devices())} devices, expected {n_global}"
     )
-    batch = args.batch or n_global
+    tp = args.model_parallel
+    assert args.local_devices % tp == 0, (
+        "model groups must not straddle hosts"
+    )
+    batch = args.batch or n_global // tp
 
     from PIL import Image
 
@@ -138,8 +150,11 @@ def _run_worker(args, rank: int) -> None:
     # Single-process reference first (local device 0, no collectives).
     ref = editor.edit_batch(images, prompts, seed=3)
 
-    mesh = make_mesh()  # global: all processes' devices
-    editor.enable_data_parallel(mesh)
+    # Global mesh: devices are ordered by process, so with tp dividing
+    # local_devices every model group is intra-host (TP all-reduces ride
+    # ICI) and the data axis is what spans hosts (DCN).
+    mesh = make_mesh(model_parallel=tp)
+    editor.enable_data_parallel(mesh, model_parallel=tp)
     handle = editor.edit_batch_async(images, prompts, seed=3)
     local = handle.local_result()
 
