@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from fastedit_tpu.models.configs import ControlNetConfig
 from fastedit_tpu.models.unet import DownBlock, MidBlock, SDXLConditioningEmbedder
-from fastedit_tpu.models.resnet import _conv
+from fastedit_tpu.models.resnet import StridedConv3x3, _conv
 
 
 class ConditioningEmbedding(nn.Module):
@@ -37,8 +37,17 @@ class ConditioningEmbedding(nn.Module):
         x = jax.nn.silu(conv(self.channels[0], 3, name="conv_in")(cond))
         for i in range(len(self.channels) - 1):
             x = jax.nn.silu(conv(self.channels[i], 3, name=f"blocks_{2*i}")(x))
+            # StridedConv3x3, NOT nn.Conv(padding="SAME"): torch's
+            # Conv2d(stride=2, padding=1) pads (1,1) while Flax SAME pads
+            # (0,1) at even sizes — a one-pixel-shifted sampling grid that
+            # silently mismatches trained checkpoint weights.
             x = jax.nn.silu(
-                conv(self.channels[i + 1], 3, stride=2, name=f"blocks_{2*i+1}")(x)
+                StridedConv3x3(
+                    self.channels[i + 1],
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name=f"blocks_{2*i+1}",
+                )(x)
             )
         # Zero-initialized output conv: ControlNet starts as a no-op.
         x = _conv(

@@ -309,11 +309,22 @@ def make_phase_kernels(w: jax.Array) -> jax.Array:
     collapse — K is formed by summing adjacent taps of w.
     """
     # row transform R[p][a, di]: which original taps di fold into tap a.
-    r0 = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 1.0]], w.dtype)  # p=0
-    r1 = jnp.asarray([[1.0, 1.0, 0.0], [0.0, 0.0, 1.0]], w.dtype)  # p=1
+    r0 = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 1.0]], jnp.float32)  # p=0
+    r1 = jnp.asarray([[1.0, 1.0, 0.0], [0.0, 0.0, 1.0]], jnp.float32)  # p=1
     rt = jnp.stack([r0, r1])  # [2, 2, 3]
-    # K[p,q,a,b,i,o] = sum_{di,dj} R[p,a,di] R[q,b,dj] w[di,dj,i,o]
-    return jnp.einsum("pad,qbe,deio->pqabio", rt, rt, w)
+    # K[p,q,a,b,i,o] = sum_{di,dj} R[p,a,di] R[q,b,dj] w[di,dj,i,o].
+    # Tap sums in f32, rounded to w.dtype ONCE at the end: a bf16 einsum
+    # would round the up-to-4-tap sums after every partial add (3 roundings
+    # of 2^-9 relative each) on the decoder's default-on path; this leaves
+    # exactly the single unavoidable rounding of the pre-summed weight.
+    k = jnp.einsum(
+        "pad,qbe,deio->pqabio",
+        rt,
+        rt,
+        w.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return k.astype(w.dtype)
 
 
 def _up2_kernel(xp_hbm, w_ref, b_ref, o_ref, xs2, sem2, *, ht, width, act):

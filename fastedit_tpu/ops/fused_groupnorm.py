@@ -1,17 +1,20 @@
-"""Pallas fused GroupNorm(+SiLU) over NHWC — two-phase tiled reduction.
+"""Pallas fused GroupNorm(+SiLU) over NHWC — three-phase tiled reduction.
 
 SURVEY.md §2.3 native-tier item 2.  A GroupNorm needs global (H, W, C/G)
-statistics, so a tiled kernel runs two phases over the same H-tiles (TPU
-grid cells execute sequentially, scratch persists):
+statistics, so a tiled kernel runs phases over the same H-tiles (TPU grid
+cells execute sequentially, scratch persists):
 
-  phase 0: accumulate per-group sum / sum-of-squares into VMEM scratch;
-  phase 1: re-read each tile, normalize + affine (+ SiLU), write out.
+  phase 0: accumulate per-group sums into VMEM scratch;
+  phase 1: with the mean known, accumulate per-group Σ(x-mean)²
+           (two-pass variance: the one-pass E[x²]-E[x]² form cancels
+           catastrophically in f32 when |mean| >> std — late decoder
+           blocks; same reason ops/groupnorm.py's XLA path is two-pass);
+  phase 2: re-read each tile, normalize + affine (+ SiLU), write out.
 
-Memory traffic is 2 reads + 1 write — identical to what XLA emits for the
-unfused reduce+normalize chain, so this kernel is an *opt-in* (ops/flags.py
+Memory traffic is 3 reads + 1 write — no better than XLA's unfused
+reduce+normalize chain, so this kernel is an *opt-in* (ops/flags.py
 defaults it off unless benchmarked faster on the target shape; see
-bench_kernels.py).
-"""
+bench_kernels.py)."""
 
 from __future__ import annotations
 
@@ -47,21 +50,31 @@ def _gn_kernel(x_ref, gamma_ref, beta_ref, o_ref, stats_ref, *,
     def _init():
         stats_ref[:] = jnp.zeros_like(stats_ref)
 
+    n = jnp.float32(n_per_group)
+
     @pl.when(phase == 0)
-    def _accumulate():
+    def _accumulate_sum():
         flat = x.reshape(ht * w, c)
         csum = jnp.sum(flat, axis=0, keepdims=True)  # [1, C]
-        csumsq = jnp.sum(flat * flat, axis=0, keepdims=True)
         gsum = jnp.dot(csum, member, preferred_element_type=jnp.float32)
-        gsumsq = jnp.dot(csumsq, member, preferred_element_type=jnp.float32)
         stats_ref[0:1, :num_groups] += gsum
-        stats_ref[1:2, :num_groups] += gsumsq
 
     @pl.when(phase == 1)
-    def _normalize():
-        n = jnp.float32(n_per_group)
+    def _accumulate_centered_sumsq():
+        # mean is global now (phase 0 saw every tile); accumulating the
+        # CENTERED squares is what makes the variance two-pass.
         mean_g = stats_ref[0:1, :num_groups] / n  # [1, G]
-        var_g = stats_ref[1:2, :num_groups] / n - mean_g * mean_g
+        mean_c = jnp.dot(mean_g, member.T, preferred_element_type=jnp.float32)
+        d = x.reshape(ht * w, c) - mean_c  # [Ht*W, C]
+        csq = jnp.sum(d * d, axis=0, keepdims=True)
+        stats_ref[1:2, :num_groups] += jnp.dot(
+            csq, member, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(phase == 2)
+    def _normalize():
+        mean_g = stats_ref[0:1, :num_groups] / n  # [1, G]
+        var_g = stats_ref[1:2, :num_groups] / n
         inv_g = jax.lax.rsqrt(var_g + eps)
         # broadcast back to channels via member^T: [1, G] @ [G, C] -> [1, C]
         mean_c = jnp.dot(mean_g, member.T, preferred_element_type=jnp.float32)
@@ -81,7 +94,7 @@ def _gn_kernel(x_ref, gamma_ref, beta_ref, o_ref, stats_ref, *,
 )
 def _fused_gn_4d(x, gamma, beta, num_groups, eps, act, block_h):
     b, h, w, c = x.shape
-    grid = (b, 2, h // block_h)
+    grid = (b, 3, h // block_h)
     kernel = functools.partial(
         _gn_kernel,
         num_groups=num_groups,

@@ -136,6 +136,16 @@ def make_schedule(
     original_inference_steps: Optional[int] = None,
 ) -> LCMSchedule:
     """Build the per-step tables for ``num_inference_steps`` at ``strength``."""
+    if config.prediction_type != "epsilon":
+        # lcm_step hardcodes the epsilon parameterization; a checkpoint
+        # whose scheduler config says v_prediction/sample must fail loudly
+        # here, not silently denoise with the wrong x0 formula (the
+        # converter re-derives this field from the checkpoint's own
+        # config.json).
+        raise ValueError(
+            f"Unsupported prediction_type: {config.prediction_type!r} "
+            "(only 'epsilon' is implemented)"
+        )
     acp = alphas_cumprod(config)
     full = lcm_timesteps(config, num_inference_steps, original_inference_steps)
     run, t_start = truncate_timesteps_for_img2img(full, num_inference_steps, strength)

@@ -252,3 +252,58 @@ def test_transformer2d_depth2_matches_torch():
     np.testing.assert_allclose(
         np.asarray(ours), theirs.numpy(), rtol=1e-4, atol=1e-4
     )
+
+
+class TorchCondEmbedding(nn.Module):
+    """diffusers ControlNetConditioningEmbedding: conv_in -> alternating
+    (stride-1, stride-2) conv+silu pairs -> conv_out, ALL pad=1 (torch
+    (1,1) at stride 2 — Flax "SAME" pads (0,1) there, the round-4 bug)."""
+
+    def __init__(self, channels, cond_channels, out_channels):
+        super().__init__()
+        self.conv_in = nn.Conv2d(cond_channels, channels[0], 3, padding=1)
+        blocks = []
+        for i in range(len(channels) - 1):
+            blocks.append(nn.Conv2d(channels[i], channels[i], 3, padding=1))
+            blocks.append(
+                nn.Conv2d(channels[i], channels[i + 1], 3, padding=1, stride=2)
+            )
+        self.blocks = nn.ModuleList(blocks)
+        # zero-initialized in diffusers; random here so the golden test
+        # actually observes the tower output
+        self.conv_out = nn.Conv2d(channels[-1], out_channels, 3, padding=1)
+
+    def forward(self, cond):
+        x = F.silu(self.conv_in(cond))
+        for block in self.blocks:
+            x = F.silu(block(x))
+        return self.conv_out(x)
+
+
+def test_controlnet_cond_embedding_matches_torch():
+    """The full conditioning tower at even sizes: catches the stride-2
+    padding-grid mismatch (torch pad (1,1) vs Flax SAME (0,1)) that shifts
+    every cond feature one pixel against trained weights."""
+    from fastedit_tpu.models.controlnet import ConditioningEmbedding
+
+    torch.manual_seed(4)
+    channels = (8, 16, 32)
+    ref = TorchCondEmbedding(channels, 3, 24).eval()
+    emb = _SD({f"e.{k}": v for k, v in _np_sd(ref).items()}).scoped("e.")
+    params = {
+        "conv_in": hf_mapping._conv2d(emb, "conv_in"),
+        "conv_out": hf_mapping._conv2d(emb, "conv_out"),
+    }
+    for k in range(2 * (len(channels) - 1)):
+        params[f"blocks_{k}"] = hf_mapping._conv2d(emb, f"blocks.{k}")
+
+    x = RNG.standard_normal((1, 16, 16, 3), dtype=np.float32)
+    ours = ConditioningEmbedding(channels=channels, out_channels=24).apply(
+        {"params": params}, jnp.asarray(x)
+    )
+    with torch.no_grad():
+        theirs = ref(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+    assert ours.shape == tuple(theirs.shape)
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.numpy(), rtol=1e-4, atol=1e-4
+    )
