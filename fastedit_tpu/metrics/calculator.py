@@ -132,6 +132,26 @@ class MetricsCalculator:
         if os.path.isdir(tok_dir):
             self.clip_tokenizer = CLIPTokenizer.from_dir(tok_dir)
         else:
+            if (
+                not tiny
+                and not allow_random
+                and "clip_text" not in self.random_backbones
+            ):
+                # Real CLIP weights but no real vocab: synthetic byte-vocab
+                # ids bear no relation to the trained embedding table, so
+                # clip_score would be garbage reported as real.  Fail closed
+                # exactly like missing weights.
+                self.random_backbones = self.random_backbones + (
+                    "clip_tokenizer",
+                )
+                self.learned_enabled = False
+                warnings.warn(
+                    f"[MetricsCalculator] converted CLIP weights found but "
+                    f"no tokenizer under {tok_dir}; learned metrics are "
+                    f"DISABLED (NaN, same all-or-nothing policy as missing "
+                    f"weights) — convert the tokenizer files "
+                    f"(vocab.json/merges.txt) alongside the weights."
+                )
             self.clip_tokenizer = CLIPTokenizer.synthetic(
                 vocab_size=clip_text_cfg.vocab_size
             )

@@ -180,8 +180,17 @@ class CLIPTextModel(nn.Module):
             name="final_layer_norm",
         )(x)
 
-        eos = (input_ids == cfg.eos_token_id).astype(jnp.int32)
-        eos_pos = jnp.argmax(eos, axis=-1)  # first EOS per row
+        if cfg.eos_token_id == 2:
+            # transformers legacy path: CLIP/SDXL config.json files ship the
+            # historically-wrong "eos_token_id": 2 (id 2 is '#' in the real
+            # vocab), and CLIPTextModel special-cases it by pooling at the
+            # highest-id token — EOS (49407) is the largest vocab id, so
+            # argmax finds it.  Matching the workaround exactly is what
+            # keeps converted real checkpoints pooling at the EOS position.
+            eos_pos = jnp.argmax(input_ids, axis=-1)
+        else:
+            eos = (input_ids == cfg.eos_token_id).astype(jnp.int32)
+            eos_pos = jnp.argmax(eos, axis=-1)  # first EOS per row
         pooled = x[jnp.arange(b), eos_pos]
         if cfg.projection_dim is not None:
             pooled = nn.Dense(

@@ -392,7 +392,15 @@ class FastEditor:
 
         cn_name = "controlnet_full" if self.use_full_controlnet else "controlnet"
         if not os.path.isdir(os.path.join(ckpt_dir, cn_name)):
-            cn_name = "controlnet"  # fall back to whichever variant shipped
+            # No silent downgrade: a run the user asked to make with the
+            # full ControlNet must not quietly produce small-variant
+            # artifacts attributed to the full one.
+            raise FileNotFoundError(
+                f"use_full_controlnet=True but {ckpt_dir}/{cn_name} is not "
+                "converted. Convert it with tools/convert_checkpoint.py "
+                "controlnet --src .../controlnet-canny-sdxl-1.0, or drop "
+                "--full_controlnet to use the small variant."
+            )
 
         unet_cfg = cfg(os.path.join(ckpt_dir, "unet"), C.UNetConfig)
         cn_cfg = cfg(os.path.join(ckpt_dir, cn_name), C.ControlNetConfig)
@@ -739,5 +747,6 @@ class FastEditor:
         """Compile all stages with a dummy edit (first compile is slow)."""
         dummy = Image.new("RGB", (self.resolution, self.resolution), (128, 128, 128))
         t0 = time.time()
-        self.edit(dummy, "warmup", seed=0, **edit_kwargs)
+        edit_kwargs.setdefault("seed", 0)  # caller's seed kwarg wins
+        self.edit(dummy, "warmup", **edit_kwargs)
         return time.time() - t0

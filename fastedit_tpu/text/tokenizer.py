@@ -246,9 +246,20 @@ class CLIPTokenizer:
         return " ".join(t.lower() for t in text.split())
 
     def tokenize(self, text: str) -> List[int]:
-        """Raw BPE token ids (no special tokens, no padding)."""
+        """Raw BPE token ids (no surrounding specials, no padding)."""
         ids: List[int] = []
         for token in _split_words(self._normalize(text)):
+            if (
+                token.startswith("<|")
+                and token.endswith("|>")
+                and token in self.encoder
+            ):
+                # Special tokens present literally in the prompt emit their
+                # single id (transformers splits added tokens out before
+                # BPE) — byte-mapping them would BPE "<|endoftext|>" into
+                # ~13 pieces and diverge from the HF oracle.
+                ids.append(self.encoder[token])
+                continue
             token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
             ids.extend(
                 self.encoder[t] for t in self._bpe(token).split(" ")
@@ -266,8 +277,17 @@ class CLIPTokenizer:
         return np.stack([self.encode(t) for t in texts])
 
     def decode(self, ids: Sequence[int]) -> str:
-        specials = {self.bos_token_id, self.eos_token_id, self.pad_token_id}
-        text = "".join(self.decoder[i] for i in ids if i not in specials)
+        # Cut at the first EOS rather than filtering pad ids: bigG's
+        # pad_token_id is 0, which is also the legitimate vocab id for
+        # '!' — filtering it would silently drop every '!' from decoded
+        # text.  Padding only ever appears after EOS, so the cut removes
+        # it without touching in-text ids.
+        ids = list(ids)
+        if self.eos_token_id in ids:
+            ids = ids[: ids.index(self.eos_token_id)]
+        text = "".join(
+            self.decoder[i] for i in ids if i != self.bos_token_id
+        )
         byte_decoder = {v: k for k, v in self.byte_encoder.items()}
         raw = bytearray(byte_decoder[c] for c in text if c in byte_decoder)
         return raw.decode("utf-8", errors="replace").replace("</w>", " ").strip()

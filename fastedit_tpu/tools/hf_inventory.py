@@ -164,9 +164,8 @@ def _unet_down_path(inv: Inventory, cfg: Dict[str, Any], temb: int):
     n = len(chans)
     layers = int(cfg.get("layers_per_block", 2))
     depths = _unet_down_depths(cfg)
-    heads = _heads(cfg)
     cross = cfg["cross_attention_dim"]
-    del heads  # head count does not change the key inventory (dim = block ch)
+    # (head count does not change the key inventory — dim = block channels)
     output_channel = chans[0]
     for i in range(n):
         input_channel = output_channel

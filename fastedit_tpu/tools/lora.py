@@ -87,10 +87,9 @@ def extract_lora_pairs(
                 rank = down.shape[0]
                 scale = alphas.get(module, float(rank)) / float(rank)
                 base = module
-                for prefix in ("unet.", "lora_unet_"):
-                    if base.startswith(prefix) and prefix != "lora_unet_":
-                        base = base[len(prefix):]
-                if base.startswith("lora_unet_"):
+                if base.startswith("unet."):
+                    base = base[len("unet."):]
+                if base.startswith("lora_unet_"):  # kohya dialect
                     base = _kohya_to_diffusers(base)
                 pairs[base] = (down, up, scale)
                 break

@@ -92,17 +92,24 @@ def load_config(path: str, cls) -> Any:
     def tupleize(x):
         return tuple(tupleize(e) for e in x) if isinstance(x, list) else x
 
-    field_types = {f.name: f for f in dataclasses.fields(cls)}
+    # Resolve the REAL field classes: configs.py uses `from __future__
+    # import annotations`, so dataclasses.fields(...)[i].type is the string
+    # "UNetConfig", never a class — an is_dataclass() test on it is always
+    # False.  get_type_hints evaluates the strings in the defining module's
+    # namespace, so nested config dataclasses (ControlNetConfig.unet today,
+    # any added later) dispatch on their actual class.
+    import typing
+
+    hints = typing.get_type_hints(cls)
+    field_names = {f.name for f in dataclasses.fields(cls)}
     kwargs = {}
     for k, v in d.items():
-        if k not in field_types:
+        if k not in field_names:
             continue
         v = tupleize(v)
-        if dataclasses.is_dataclass(field_types[k].type) or k == "unet":
-            # nested config dataclass (ControlNetConfig.unet)
-            from fastedit_tpu.models.configs import UNetConfig
-
-            v = UNetConfig(**{kk: tupleize(vv) for kk, vv in d[k].items()})
+        hint = hints.get(k)
+        if dataclasses.is_dataclass(hint) and isinstance(d[k], dict):
+            v = hint(**{kk: tupleize(vv) for kk, vv in d[k].items()})
         kwargs[k] = v
     return cls(**kwargs)
 

@@ -220,3 +220,54 @@ def test_clip_text_tower_matches_transformers(act, proj):
     np.testing.assert_allclose(
         np.asarray(ours.pooled_output), pooled_ref.numpy(), rtol=1e-4, atol=1e-5
     )
+
+
+def test_clip_text_tower_legacy_eos2_matches_transformers():
+    """Real CLIP/SDXL config.json files ship the historically-wrong
+    "eos_token_id": 2; transformers special-cases it by pooling at the
+    highest token id (EOS is the largest vocab id).  Every converted real
+    checkpoint takes this path — the eos=999 test above never does."""
+    from transformers import CLIPTextConfig as HFConfig
+    from transformers import CLIPTextModel as HFModel
+
+    hf_cfg = HFConfig(
+        vocab_size=1000,
+        hidden_size=32,
+        num_hidden_layers=3,
+        num_attention_heads=2,
+        intermediate_size=64,
+        max_position_embeddings=77,
+        hidden_act="quick_gelu",
+        eos_token_id=2,
+        bos_token_id=1,
+        pad_token_id=0,
+    )
+    torch.manual_seed(5)
+    hf = HFModel(hf_cfg).eval()
+
+    cfg = CLIPTextConfig(
+        vocab_size=1000,
+        hidden_size=32,
+        num_layers=3,
+        num_heads=2,
+        intermediate_size=64,
+        hidden_act="quick_gelu",
+        eos_token_id=2,
+        projection_dim=None,
+    )
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    sd.pop("text_model.embeddings.position_ids", None)
+    params = hf_mapping.convert_clip_text(sd, cfg)
+
+    # EOS = 999 (the largest id the tokenizer emits), NOT 2: pooling must
+    # land on it anyway via the argmax workaround.
+    ids = np.array([[1, 5, 7, 123, 999, 0, 0, 0], [1, 42, 999, 0, 0, 0, 0, 0]])
+    ours = CLIPTextModel(cfg).apply({"params": params}, jnp.asarray(ids))
+    with torch.no_grad():
+        theirs = hf(torch.from_numpy(ids))
+    np.testing.assert_allclose(
+        np.asarray(ours.pooled_output),
+        theirs.pooler_output.numpy(),
+        rtol=1e-4,
+        atol=1e-5,
+    )

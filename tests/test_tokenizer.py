@@ -72,6 +72,9 @@ def test_matches_transformers(vocab_dir):
         "ab",                # Co private-use removed -> "ab"
         "pre\U000e0065\U000e006epost",  # Cf tag chars removed
         "tab\tand\nnewline\rkept as spaces",
+        # literal special tokens emit their single id, not byte-BPE pieces
+        "a photo <|endoftext|> trailing",
+        "<|startoftext|> b",
     ]:
         ref = hf(
             text,
@@ -132,3 +135,13 @@ def test_pad_token_override(vocab_dir):
     ids = tok.encode("cat")
     assert ids[-1] == 0
     assert ids[2] == tok.eos_token_id
+
+
+def test_decode_preserves_vocab_id_zero(vocab_dir):
+    """bigG pads with id 0, which is also a real vocab id: decode must cut
+    padding at EOS rather than filter the pad id out of the text."""
+    tok = CLIPTokenizer.from_dir(vocab_dir, pad_token_id=0)
+    zero_char = tok.decoder[0]  # the vocab token with id 0
+    ids = [tok.bos_token_id, 0, 0, tok.eos_token_id, 0, 0, 0]
+    out = tok.decode(ids)
+    assert zero_char * 2 in out.replace(" ", "")
