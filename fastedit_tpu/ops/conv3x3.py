@@ -83,6 +83,23 @@ def _conv_kernel(xp_hbm, w_ref, b_ref, o_ref, xs2, sem2, *, ht, width, act):
 # kernel family on a stale budget.
 VMEM_TILE_BUDGET = 13 * 1024 * 1024
 
+# Hard cap on the HONESTLY-accounted bytes (xs with the true padded width
+# the calls allocate: W+2 rounded up to a lane multiple).  Tile SELECTION
+# uses the (w + 2) xs term the round-3 flag matrices were tuned against —
+# switching selection to the honest term (round-3 advisor note) halved Ht
+# on the UNet's 32²/64²-by-1280ch convs and measurably regressed the
+# denoise loop (241 -> 271 ms) and fused decoder (82 -> 114 ms).  The
+# honest term is enforced HERE instead, as a safety cap: 24 MB accounted
+# x the ~2x Mosaic staging overhead stays under the 64 MB
+# vmem_limit_bytes every conv pallas_call sets (and Mosaic fails loudly
+# at compile time if it ever didn't).
+VMEM_HARD_CAP = 24 * 1024 * 1024
+
+
+def _lane_pad(w: int) -> int:
+    """Columns the kernel actually allocates for a (w+2)-wide padded row."""
+    return -(-(w + 2) // 8) * 8
+
 
 def _pick_tiles(h: int, w: int, cin: int, cout: int, itemsize: int):
     """(Ht, Co) fitting a ~13 MB accounted-VMEM budget.
@@ -103,12 +120,15 @@ def _pick_tiles(h: int, w: int, cin: int, cout: int, itemsize: int):
         for ht in (32, 16, 8, 4):
             if h % ht:
                 continue
-            # double-buffered; the call pads columns to a lane multiple
-            xs_bytes = 2 * (ht + 2) * (-(-(w + 2) // 8) * 8) * cin * itemsize
+            # Selection term (r3-tuned); both buffers double-buffered.
+            xs_sel = 2 * (ht + 2) * (w + 2) * cin * itemsize
+            # Honest term: the call pads columns to a lane multiple.
+            xs_true = 2 * (ht + 2) * _lane_pad(w) * cin * itemsize
             acc_bytes = ht * w * co * 4
             out_bytes = ht * w * co * itemsize
             w_bytes = 9 * cin * co * itemsize
-            if xs_bytes + acc_bytes + out_bytes + w_bytes <= VMEM_TILE_BUDGET:
+            rest = acc_bytes + out_bytes + w_bytes
+            if xs_sel + rest <= VMEM_TILE_BUDGET and xs_true + rest <= VMEM_HARD_CAP:
                 return ht, co
     return None
 

@@ -41,7 +41,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fastedit_tpu.ops import flags
 
+from fastedit_tpu.ops.conv3x3 import VMEM_HARD_CAP as _HARD_CAP
 from fastedit_tpu.ops.conv3x3 import VMEM_TILE_BUDGET as _BUDGET
+from fastedit_tpu.ops.conv3x3 import _lane_pad
 
 
 def _apply_prologue(xs, pre_row, *, ht, width, h, ih):
@@ -145,17 +147,17 @@ def _pick_tiles_fused(h, w, cin, cout, itemsize, has_skip):
         for ht in (32, 16, 8, 4):
             if h % ht:
                 continue
-            # double-buffered; _fused_call pads columns to a lane multiple
-            wp = -(-(w + 2) // 8) * 8
-            xs_bytes = 2 * (ht + 2) * wp * cin * itemsize
+            # Selection uses the r3-tuned (w + 2) term; the honest
+            # lane-padded term is enforced against the hard cap (see
+            # conv3x3.VMEM_HARD_CAP for why selection must not use it).
+            xs_sel = 2 * (ht + 2) * (w + 2) * cin * itemsize
+            xs_true = 2 * (ht + 2) * _lane_pad(w) * cin * itemsize
             acc_bytes = ht * w * co * 4
             out_bytes = ht * w * co * itemsize
             w_bytes = 9 * cin * co * itemsize
             skip_bytes = 2 * ht * w * co * itemsize if has_skip else 0
-            if (
-                xs_bytes + acc_bytes + out_bytes + w_bytes + skip_bytes
-                <= _BUDGET
-            ):
+            rest = acc_bytes + out_bytes + w_bytes + skip_bytes
+            if xs_sel + rest <= _BUDGET and xs_true + rest <= _HARD_CAP:
                 return ht, co
     return None
 
@@ -394,14 +396,17 @@ def _pick_tiles_up2(h, w, cin, cout, itemsize):
         for ht in (16, 8, 4, 2):
             if h % ht:
                 continue
-            # double-buffered; _up2_call pads columns to a lane multiple
-            xs_bytes = 2 * (ht + 2) * (-(-(w + 2) // 8) * 8) * cin * itemsize
+            # Selection uses the r3-tuned (w + 2) term; honest lane-padded
+            # term enforced against the hard cap (conv3x3.VMEM_HARD_CAP).
+            xs_sel = 2 * (ht + 2) * (w + 2) * cin * itemsize
+            xs_true = 2 * (ht + 2) * _lane_pad(w) * cin * itemsize
             # 4 phase accumulators materialize sequentially but budget 2 + the
             # interleave temporaries (~2 out-tiles in f32)
             acc_bytes = 4 * ht * w * co * 4
             out_bytes = 2 * (2 * ht) * (2 * w) * co * itemsize
             w_bytes = 16 * cin * co * itemsize
-            if xs_bytes + acc_bytes + out_bytes + w_bytes <= _BUDGET:
+            rest = acc_bytes + out_bytes + w_bytes
+            if xs_sel + rest <= _BUDGET and xs_true + rest <= _HARD_CAP:
                 return ht, co
     return None
 
@@ -479,10 +484,14 @@ def _up2_call(x, wp4, bias, act, ht, co):
 def _down2_kernel(xp_hbm, w_ref, b_ref, o_ref, xs4, sem4, *, ht, wout, act):
     """Grid (B, Cout-tiles, Hout-tiles).
 
-    ``xp_hbm``: [B, HP/2, 2, WPS, 2, Cin] phase-exposed padded input.
-    Four phase slabs per tile land in ``xs4[slot]``: index 2*rp+cp, rows
-    ht+1 (even-row phases) or ht (odd).  Tap (di, dj) reads slab
-    (di%2, dj%2) at row offset di//2, col offset dj//2.
+    ``xp_hbm``: [B, 2, 2, HP/2, WPS, Cin] phase-exposed padded input —
+    the two parity dims lead so the per-slab DMA slices only UNTILED
+    dims (slicing a size-2 second-minor dim to 1 violates Mosaic's bf16
+    (2, 128) tiled-slice alignment on real TPUs; interpret mode accepts
+    it, which is why only hardware caught this).  Four phase slabs per
+    tile land in ``xs4[slot]``: index 2*rp+cp, rows ht+1 (even-row
+    phases) or ht (odd).  Tap (di, dj) reads slab (di%2, dj%2) at row
+    offset di//2, col offset dj//2.
     """
     b = pl.program_id(0)
     ih = pl.program_id(2)
@@ -495,7 +504,7 @@ def _down2_kernel(xp_hbm, w_ref, b_ref, o_ref, xs4, sem4, *, ht, wout, act):
             for cp in (0, 1):
                 out.append(
                     pltpu.make_async_copy(
-                        xp_hbm.at[b, pl.ds(row_tile * ht, rows), rp, :, cp],
+                        xp_hbm.at[b, rp, cp, pl.ds(row_tile * ht, rows)],
                         xs4.at[slot, 2 * rp + cp, pl.ds(0, rows)],
                         sem4.at[slot, 2 * rp + cp],
                     )
@@ -593,7 +602,10 @@ def _down2_call(x, w, bias, act, pad_top, ht, co):
             (0, 0),
         ),
     )
-    xp2 = xp.reshape(b, (h + 2) // 2, 2, wps, 2, cin)
+    # Parity dims transposed to the front: the kernel's slab DMAs must not
+    # slice a tiled (second-minor) dim — see _down2_kernel.  XLA fuses the
+    # pad into the transpose's writer, so this stays one materializing pass.
+    xp2 = xp.reshape(b, (h + 2) // 2, 2, wps, 2, cin).transpose(0, 2, 4, 1, 3, 5)
     grid = (b, cout // co, hout // ht)
     return pl.pallas_call(
         functools.partial(_down2_kernel, ht=ht, wout=wout, act=act),
