@@ -148,11 +148,13 @@ def use_fused_down2() -> bool:
 def use_pallas_conv_encode() -> bool:
     """Pallas convs in the VAE encoder context.
 
-    OFF by default PENDING the in-context re-A/B: the round-2/3 encoder
-    measurement (XLA 43.7-44.4 ms vs fused Pallas 55.7-56.7) ran with the
-    stride-2 downsamplers still on XLA — partial coverage re-ignited the
-    layout war.  conv3x3_down2 now completes coverage; flip this default
-    only if `bench_conv.py encode` wins on hardware (honest-flag policy).
+    OFF by default — the round-4 re-A/B with conv3x3_down2 completing
+    coverage still loses (bench_conv.py encode, v5e, queue-10-sync-1):
+    XLA 43.5 ms vs fused resnet + down2 54.1 vs fused resnet +
+    XLA-downsample 57.4 vs bare convs + down2 58.7.  Full coverage DID
+    beat partial coverage (down2 > XLA downsamplers inside the Pallas
+    region), but the encoder's shapes (few channels, huge spatial) favor
+    XLA's conv layout outright.  Honest-flag policy: stays XLA.
     """
     if FLAGS.use_pallas_conv is None:
         return False
@@ -199,11 +201,16 @@ def resolve_fused_denoise() -> tuple[bool, bool]:
 
 def resolve_fused_down2_denoise() -> bool:
     """conv3x3_down2 for the UNet downsamplers inside the denoise loop:
-    OFF by default pending the in-loop A/B (bench_conv.py denoise);
-    explicit FLAGS.use_fused_down2 overrides, gated by the loop conv
-    context like the other fusions."""
+    ON by default (round-4 flip).  In-loop A/B on v5e (bench_conv.py
+    denoise + a 3x-alternating repeat harness, queue-6-sync-1): up2+down2
+    239.3-240.1 ms vs up2-only 240.1-241.1 — a small (~0.3%) but
+    rep-consistent win; down2 removes the last XLA convs (and their
+    boundary relayouts) from the loop.  The same kernel LOSES in the VAE
+    encoder context (54.1 vs 43.5 ms XLA, see use_pallas_conv_encode), so
+    the flip is denoise-only.  Explicit FLAGS.use_fused_down2 overrides,
+    gated by the loop conv context like the other fusions."""
     on = use_pallas_conv_denoise()
-    d = FLAGS.use_fused_down2 if FLAGS.use_fused_down2 is not None else False
+    d = FLAGS.use_fused_down2 if FLAGS.use_fused_down2 is not None else on
     return d and on
 
 

@@ -248,8 +248,8 @@ def _denoise_fn(mod: PipelineModules):
             use_pallas_conv=flags.use_pallas_conv_denoise(),
             use_fused_resnet=fused_resnet,
             use_fused_up2=fused_up2,
-            # UNet downsamplers: XLA strided conv by default pending the
-            # in-loop A/B; explicit FLAGS.use_fused_down2 overrides.
+            # UNet downsamplers: conv3x3_down2 ON by default in-loop
+            # (r4 A/B win); explicit FLAGS.use_fused_down2 overrides.
             use_fused_down2=flags.resolve_fused_down2_denoise(),
         ):
             return _denoise_body(

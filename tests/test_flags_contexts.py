@@ -42,12 +42,15 @@ def test_encoder_and_unmeasured_contexts_default_xla():
 
 
 def test_down2_defaults_and_overrides():
-    """conv3x3_down2 is OFF by default in every context (pending the
-    hardware A/B); explicit FLAGS.use_fused_down2 flips it, still gated
-    by the context conv flag."""
+    """conv3x3_down2 defaults: ON inside the denoise loop (round-4
+    hardware A/B win), OFF in the encoder and unmeasured contexts;
+    explicit FLAGS.use_fused_down2 overrides, still gated by the
+    context conv flag."""
     with _tpu(True):
         assert flags.use_fused_down2() is False  # follows use_pallas_conv()
-        assert flags.resolve_fused_down2_denoise() is False
+        assert flags.resolve_fused_down2_denoise() is True
+        with flags.override(use_fused_down2=False):
+            assert flags.resolve_fused_down2_denoise() is False
         with flags.override(use_fused_down2=True):
             # gated: denoise context conv flag is ON by default on TPU
             assert flags.resolve_fused_down2_denoise() is True
