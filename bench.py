@@ -80,6 +80,10 @@ def main():
     t0 = time.time()
     editor.edit(img, "a rusty bicycle on a beach", seed=0)
     print(f"[bench] warmup (compile) {time.time()-t0:.1f}s", file=sys.stderr)
+    # First dispatch after a compile runs ~2-3x slow through the relay (the
+    # same artifact the batch phase burns its first chunk on, below); burn
+    # one throwaway so the median measures steady state, not relay warm-up.
+    editor.edit(img, "a rusty bicycle on a beach throwaway", seed=99)
 
     # Steady state: fresh prompt each iter to include prompt encoding.
     iters = 5
@@ -252,6 +256,7 @@ def main():
     t0 = time.time()
     editor.edit(img, "warmup nocfg", seed=0, guidance_scale=1.0)
     print(f"[bench] no-CFG warmup (compile) {time.time()-t0:.1f}s", file=sys.stderr)
+    editor.edit(img, "throwaway nocfg", seed=99, guidance_scale=1.0)
     nct = []
     for i in range(5):
         t0 = time.time()
@@ -280,8 +285,9 @@ def main():
             f"[bench] sdxl warmup (compile) {time.time()-t0:.1f}s",
             file=sys.stderr,
         )
+        editor_xl.edit(img, "throwaway sdxl", seed=99)
         xt = []
-        for i in range(3):
+        for i in range(5):
             t0 = time.time()
             editor_xl.edit(img, f"a rusty bicycle {i} sdxl", seed=i)
             xt.append(time.time() - t0)
