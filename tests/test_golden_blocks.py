@@ -39,7 +39,8 @@ class TorchResnetBlock2D(nn.Module):
         super().__init__()
         self.norm1 = nn.GroupNorm(groups, cin, eps=eps)
         self.conv1 = nn.Conv2d(cin, cout, 3, padding=1)
-        self.time_emb_proj = nn.Linear(temb_dim, cout)
+        if temb_dim is not None:  # VAE resnets have no time embedding
+            self.time_emb_proj = nn.Linear(temb_dim, cout)
         self.norm2 = nn.GroupNorm(groups, cout, eps=eps)
         self.conv2 = nn.Conv2d(cout, cout, 3, padding=1)
         self.conv_shortcut = (
@@ -49,7 +50,8 @@ class TorchResnetBlock2D(nn.Module):
     def forward(self, x, temb):
         h = F.silu(self.norm1(x))
         h = self.conv1(h)
-        h = h + self.time_emb_proj(F.silu(temb))[:, :, None, None]
+        if temb is not None:
+            h = h + self.time_emb_proj(F.silu(temb))[:, :, None, None]
         h = F.silu(self.norm2(h))
         h = self.conv2(h)
         if self.conv_shortcut is not None:
