@@ -71,9 +71,59 @@ def _np_dtype(name: str):
     return {"fp32": np.float32, "fp16": np.float16}[name]
 
 
+# Documented architecture defaults (models/configs.py) per --expect name.
+# A converted checkpoint whose derived config drifts from these fails LOUDLY
+# at conversion time (round-4 verdict Next #8: bound the reconstructed
+# SSD-1B topology) instead of silently benching a wrong-depth architecture.
+_EXPECTED_CONFIGS = {
+    "ssd-1b": ("unet", lambda: C.SSD1B_UNET),
+    "sdxl": ("unet", lambda: C.SDXL_UNET),
+    "controlnet-small": ("controlnet", lambda: C.SDXL_CONTROLNET_SMALL),
+    "controlnet-full": ("controlnet", lambda: C.SDXL_CONTROLNET_FULL),
+    "vae": ("vae", lambda: C.SDXL_VAE),
+}
+
+
+def _assert_expected_config(expect: str, kind: str, derived) -> None:
+    import dataclasses
+
+    want_kind, want_fn = _EXPECTED_CONFIGS[expect]
+    if kind != want_kind:
+        raise SystemExit(
+            f"--expect {expect} applies to kind '{want_kind}', got '{kind}'"
+        )
+    want = want_fn()
+    if derived == want:
+        print(f"[convert] derived config matches documented '{expect}' default")
+        return
+    lines = [
+        f"checkpoint config DRIFTS from the documented '{expect}' default "
+        f"(models/configs.py). Field diff (derived vs documented):"
+    ]
+
+    def diff(obj_d, obj_w, prefix=""):
+        for f in dataclasses.fields(obj_w):
+            a, b = getattr(obj_d, f.name), getattr(obj_w, f.name)
+            if dataclasses.is_dataclass(b):
+                diff(a, b, prefix=f"{prefix}{f.name}.")
+            elif a != b:
+                lines.append(
+                    f"  {prefix}{f.name}: derived={a!r} documented={b!r}"
+                )
+
+    diff(derived, want)
+    lines.append(
+        "Update models/configs.py (and tools/hf_vendored.py) to the real "
+        "values, re-run tests, re-run bench — or drop --expect if converting "
+        "a deliberately different architecture."
+    )
+    raise SystemExit("\n".join(lines))
+
+
 def convert_component(kind: str, src: str, out: str, dtype: str = "bf16",
                       lora_path: str | None = None,
-                      heads_src: str | None = None) -> None:
+                      heads_src: str | None = None,
+                      expect: str | None = None) -> None:
     np_dtype = _np_dtype(dtype)
 
     if kind == "tokenizer":
@@ -83,10 +133,17 @@ def convert_component(kind: str, src: str, out: str, dtype: str = "bf16",
         print(f"[convert] tokenizer files -> {out}")
         return
 
+    if expect is not None and expect not in _EXPECTED_CONFIGS:
+        raise SystemExit(
+            f"unknown --expect {expect!r}; choices: {sorted(_EXPECTED_CONFIGS)}"
+        )
+
     sd = load_hf_state_dict(src)
     if kind == "unet":
         cfg_json = load_hf_config(src)
         cfg = hf_config.unet_config_from_hf(cfg_json)
+        if expect is not None:
+            _assert_expected_config(expect, kind, cfg)
         if lora_path:
             from safetensors.numpy import load_file
 
@@ -97,10 +154,14 @@ def convert_component(kind: str, src: str, out: str, dtype: str = "bf16",
     elif kind == "controlnet":
         cfg_json = load_hf_config(src)
         cfg = hf_config.controlnet_config_from_hf(cfg_json)
+        if expect is not None:
+            _assert_expected_config(expect, kind, cfg)
         params = hf_mapping.convert_controlnet(sd, cfg, strict=True)
     elif kind == "vae":
         cfg_json = load_hf_config(src)
         cfg = hf_config.vae_config_from_hf(cfg_json)
+        if expect is not None:
+            _assert_expected_config(expect, kind, cfg)
         params = hf_mapping.convert_vae(sd, cfg, strict=True)
     elif kind in ("text_encoder", "text_encoder_2", "clip_text"):
         cfg_json = load_hf_config(src)
@@ -168,9 +229,14 @@ def main(argv=None):
                    help="LoRA safetensors to fuse (unet only; LCM-LoRA path)")
     p.add_argument("--heads_src", default=None,
                    help="LPIPS linear-head weights dir (lpips only)")
+    p.add_argument("--expect", default=None,
+                   choices=sorted(_EXPECTED_CONFIGS),
+                   help="fail loudly if the derived config drifts from the "
+                        "documented models/configs.py default of this name")
     args = p.parse_args(argv)
     convert_component(
-        args.kind, args.src, args.out, args.dtype, args.lora, args.heads_src
+        args.kind, args.src, args.out, args.dtype, args.lora, args.heads_src,
+        expect=args.expect,
     )
     return 0
 

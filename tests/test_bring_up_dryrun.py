@@ -143,6 +143,9 @@ def _run_script(work, ckpt_dir, components, timeout=1500, extra_env=None):
         PIE_BENCH_DIR=str(work / "no_such_pie_bench"),
         # Mocked-vocab token goldens must never land in the repo fixture.
         TOKEN_GOLDENS_FIXTURE=str(work / "token_goldens.json"),
+        # Likewise mocked config.json captures (step 2's capture phase).
+        CONFIG_GOLDENS_FIXTURE=str(work / "config_goldens.json"),
+        SCHED_GOLDENS_FIXTURE=str(work / "sched_goldens.json"),
     )
     if not (work / "token_goldens.json").exists():
         import shutil

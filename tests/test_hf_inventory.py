@@ -123,6 +123,68 @@ def test_vendored_vae_config_derives_shipped_default():
     assert hf_config.vae_config_from_hf(V.VAE_CONFIG) == C.SDXL_VAE
 
 
+def test_captured_configs_derive_shipped_defaults():
+    """Staged real-config goldens (round-4 verdict Next #8): once
+    tools/bring_up.sh step 2 captures the checkpoints' actual config.json
+    contents on an egress machine, this hard-verifies the documented
+    models/configs.py defaults (esp. the reconstructed SSD-1B topology)
+    against captured facts instead of reconstructions."""
+    import json
+    import os
+
+    fixture = os.path.join(
+        os.path.dirname(__file__), "fixtures", "hf_config_captured.json"
+    )
+    cap = json.load(open(fixture))
+    cases = [
+        ("ssd1b_unet", hf_config.unet_config_from_hf, C.SSD1B_UNET),
+        ("sdxl_unet", hf_config.unet_config_from_hf, C.SDXL_UNET),
+        ("controlnet_small", hf_config.controlnet_config_from_hf,
+         C.SDXL_CONTROLNET_SMALL),
+        ("controlnet_full", hf_config.controlnet_config_from_hf,
+         C.SDXL_CONTROLNET_FULL),
+        ("vae_fp16_fix", hf_config.vae_config_from_hf, C.SDXL_VAE),
+    ]
+    if all(cap.get(name) is None for name, _, _ in cases):
+        pytest.skip("real config.json goldens not captured yet (no egress); "
+                    "tools/bring_up.sh step 2 fills the fixture")
+    for name, derive, want in cases:
+        if cap.get(name) is None:
+            continue
+        assert derive(cap[name]) == want, name
+
+
+def test_converter_expect_flag_catches_config_drift(tmp_path):
+    """--expect wiring (round-4 verdict Next #8): a checkpoint whose derived
+    config drifts from the documented default must fail LOUDLY at
+    conversion time with a field diff, and a matching one must pass."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    from fastedit_tpu.tools import convert_checkpoint as CC
+
+    # drifted SSD-1B: one extra transformer layer in the up path
+    drifted = dict(V.SSD1B_UNET_CONFIG)
+    drifted["reverse_transformer_layers_per_block"] = [
+        [4, 4, 10], [2, 2, 1], [1, 1, 1]
+    ]
+    src = tmp_path / "unet"
+    src.mkdir()
+    (src / "config.json").write_text(json.dumps(drifted))
+    inv = I.unet_inventory(drifted)
+    save_file(
+        {k: np.zeros(s, np.float16) for k, s in inv.items()},
+        str(src / "model.safetensors"),
+    )
+    with pytest.raises(SystemExit) as exc:
+        CC.convert_component(
+            "unet", str(src), str(tmp_path / "out"), expect="ssd-1b"
+        )
+    assert "up_transformer_layers" in str(exc.value)
+    assert "DRIFT" in str(exc.value)
+
+
 # ------------------------------------------- converter consumes inventories
 
 

@@ -129,6 +129,28 @@ for name, real, vendored, derive in checks:
         print(f"  ok: {name}")
 if failed:
     sys.exit(1)
+
+# Capture the REAL config.json contents into the staged fixture so the test
+# suite can verify models/configs.py defaults against captured facts forever
+# after (tests/test_hf_inventory.py::test_captured_configs_derive_shipped_
+# defaults).  CONFIG_GOLDENS_FIXTURE overrides the target (the CI dry-run
+# points it at a scratch copy so mocked configs never land in the fixture).
+import os
+
+fixture = os.environ.get(
+    "CONFIG_GOLDENS_FIXTURE", "tests/fixtures/hf_config_captured.json"
+)
+cap = json.load(open(fixture)) if os.path.exists(fixture) else {}
+cap.update(
+    ssd1b_unet=load("segmind/SSD-1B"),
+    sdxl_unet=load("stabilityai/stable-diffusion-xl-base-1.0"),
+    controlnet_small=load("diffusers/controlnet-canny-sdxl-1.0-small", None),
+    controlnet_full=load("diffusers/controlnet-canny-sdxl-1.0", None),
+    vae_fp16_fix=load("madebyollin/sdxl-vae-fp16-fix", None),
+)
+with open(fixture, "w") as f:
+    json.dump(cap, f, indent=2)
+print(f"  captured real config.json contents -> {fixture}")
 PY
 
 echo "=== [3/5] converting components -> $CKPT (COMPONENTS: $COMPONENTS)"
@@ -138,25 +160,25 @@ if has unet; then
   if [ "$MODEL" = "ssd-1b" ]; then
     # reference ssd-1b path: full LCM UNet (latent-consistency/lcm-ssd-1b)
     $CONV unet --src "$SNAP/latent-consistency__lcm-ssd-1b/unet" \
-          --out "$CKPT/ssd-1b/unet" --dtype "$DTYPE"
+          --out "$CKPT/ssd-1b/unet" --dtype "$DTYPE" --expect ssd-1b
   else
     # reference sdxl path: base UNet + LCM-LoRA fused offline
     LORA=$(ls "$SNAP"/latent-consistency__lcm-lora-sdxl/*.safetensors | head -1)
     $CONV unet --src "$S/unet" --lora "$LORA" \
-          --out "$CKPT/sdxl/unet" --dtype "$DTYPE"
+          --out "$CKPT/sdxl/unet" --dtype "$DTYPE" --expect sdxl
   fi
 fi
 if has controlnet; then
   $CONV controlnet --src "$SNAP/diffusers__controlnet-canny-sdxl-1.0-small" \
-        --out "$CKPT/controlnet-small" --dtype "$DTYPE"
+        --out "$CKPT/controlnet-small" --dtype "$DTYPE" --expect controlnet-small
   $CONV controlnet --src "$SNAP/diffusers__controlnet-canny-sdxl-1.0" \
-        --out "$CKPT/controlnet-full" --dtype "$DTYPE"
+        --out "$CKPT/controlnet-full" --dtype "$DTYPE" --expect controlnet-full
 fi
 if has vae; then
   $CONV vae --src "$SNAP/madebyollin__sdxl-vae-fp16-fix" \
-        --out "$CKPT/vae" --dtype "$DTYPE"
+        --out "$CKPT/vae" --dtype "$DTYPE" --expect vae
   $CONV vae --src "$SNAP/stabilityai__sdxl-vae" \
-        --out "$CKPT/vae-fp32" --dtype fp32
+        --out "$CKPT/vae-fp32" --dtype fp32 --expect vae
 fi
 if has text; then
   $CONV text_encoder --src "$S/text_encoder" \
@@ -260,6 +282,11 @@ elif python -c "import diffusers" 2>/dev/null; then
       --golden "$WORK/goldens/$kind.npz" --ckpt "${GCKPT[$kind]}" \
       --precision "$DTYPE"
   done
+  # diffusers-LCMScheduler trajectory goldens -> staged fixture
+  # (tests/test_lcm_scheduler.py hard-verifies sched/lcm.py once filled)
+  python -m fastedit_tpu.tools.capture_scheduler_goldens \
+    --scheduler_config "$S/scheduler/scheduler_config.json" \
+    --fixture "${SCHED_GOLDENS_FIXTURE:-tests/fixtures/lcm_scheduler_goldens.json}"
 else
   echo "  (diffusers not installed — skipping golden capture; run"
   echo "   'pip install diffusers' and re-run this step for activations)"
