@@ -443,6 +443,12 @@ def bench_denoise():
     schedule = make_schedule(editor.scheduler_config, 4, strength=0.8)
     key = jax.random.PRNGKey(0)
 
+    # raw per-arm measurements, keyed by label; every call to run()
+    # appends, so the alternating-rep tail below yields 3 samples per
+    # contender.  Dumped to flag_matrix_denoise.json so a future retune
+    # can check whether a sub-1% margin replicates (advisor r4 ask).
+    raw: dict[str, list[float]] = {}
+
     def run(label):
         editor._rebuild_stages()
 
@@ -462,6 +468,7 @@ def bench_denoise():
         outs = [go() for _ in range(n)]
         float(sum(jnp.sum(o.astype(jnp.float32)) for o in outs))
         t = (time.time() - t0) / n
+        raw.setdefault(label, []).append(t * 1e3)
         print(f"  {label:46s} {t*1e3:7.1f} ms", flush=True)
 
     run("warmup arm (discard)")  # first timed arm runs ~2x slow (see bench_decode)
@@ -479,6 +486,27 @@ def bench_denoise():
         run("pallas convs + up2 + down2 (strided downsamplers)")
     with flags.override(use_pallas_conv=False):
         run("xla convs everywhere")
+
+    # Alternating-rep tail for the two default-deciding contenders (the
+    # ~0.3% down2 margin): 3 back-to-back A/B pairs so the artifact shows
+    # whether the ordering replicates rep-over-rep, not just once.
+    for _ in range(3):
+        with flags.override(use_fused_resnet=False, use_fused_up2=True,
+                            use_fused_down2=True):
+            run("A/B: up2 + down2 (denoise default)")
+        with flags.override(use_fused_resnet=False, use_fused_up2=True,
+                            use_fused_down2=False):
+            run("A/B: up2 only")
+
+    import json
+    art = {
+        "unit": "ms per 3-step CFG denoise (queue-6-sync-1)",
+        "device": str(jax.devices()[0]),
+        "raw_ms": {k: [round(v, 2) for v in vs] for k, vs in raw.items()},
+    }
+    with open("flag_matrix_denoise.json", "w") as f:
+        json.dump(art, f, indent=1)
+    print("  wrote flag_matrix_denoise.json (raw per-rep times)", flush=True)
 
 
 def bench_matmul():

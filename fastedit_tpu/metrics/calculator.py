@@ -56,7 +56,13 @@ class MetricsCalculator:
         self.device = device
         self.metric_size = (512, 512)
         weights_dir = weights_dir or os.path.join("checkpoints", "metrics")
-        print(f"[MetricsCalculator] Initializing on {device}...")
+        # report the REAL backend, not the requested string — an env
+        # override (FASTEDIT_PLATFORM) or an unavailable accelerator can
+        # make them differ, and the log line is what operators trust
+        print(
+            f"[MetricsCalculator] Initializing on {jax.default_backend()} "
+            f"(requested: {device})..."
+        )
 
         if tiny:
             self.clip_vision_cfg = C.TINY_CLIP_VISION

@@ -56,6 +56,9 @@ if [[ "$MODEL" == "tiny" ]]; then
     # random-weight smoke model: learned metric backbones are unavailable
     # and fail-closed; the tiny JAX metric heads keep the chain executable
     EXTRA_EVAL_ARGS+=(--tiny_metrics)
+    # the tiny demo chain must never claim a TPU (it may be busy serving
+    # the real bench); FASTEDIT_PLATFORM=cpu already pins the batch run
+    EXTRA_EVAL_ARGS+=(--device cpu)
 fi
 
 echo "=== [1/4] Batch editing ($MODEL) ==="
